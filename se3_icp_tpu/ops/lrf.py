@@ -1,0 +1,190 @@
+"""Local-reference-frame estimation + normals + GICP covariances.
+
+Batched TPU re-design of the reference's per-point OpenMP loops:
+
+  * TOLDI SE(3) frames (C3, ref:cpp:241-331) -- the core geometric
+    novelty.  One gather of [N,k,3] neighborhoods, then fully vectorized
+    centroid/covariance/eigh/arrow-weighting math on the VPU; the kNN
+    itself is the MXU brute-force search in ``ops.knn``.
+  * SHOT SE(3) frames (C4, ref:cpp:121-239) -- the dormant alternate LRF,
+    radius-based; implemented with a masked fixed-k neighborhood.
+  * PCA normal estimation (Open3D ``EstimateNormals`` analog; kNN-30 for
+    pt2pl at ref:cpp:643, kNN-20 inside GICP init at ref:cpp:43).
+  * GICP covariance initialization (C14, ref:cpp:4-52), including the
+    reference's ``c < -0.99 -> identity`` quirk in GetRotationFromE1ToX.
+
+Intentional parity quirks (SURVEY.md §5):
+  * TOLDI centroid off-by-one: neighbors ranked 1..k//3-1 are summed but
+    the sum is divided by k//3 (ref:cpp:259-265), while the covariance
+    uses ranks 1..k//3 (ref:cpp:268-272).  Reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from se3_icp_tpu.ops import eigh3, knn
+
+
+def _gather_neighbors(points, idx):
+    """points [N,3], idx [N,k] -> [N,k,3]."""
+    return points[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def toldi_frames(points, k: int, n_valid=None):
+    """TOLDI SE(3) frames for every point of a cloud.
+
+    Returns (rot [N,3,3] with columns x,y,z, origin [N,3]).
+    Mirrors ``computeSingleTOLDISE3Frame`` (ref:cpp:241-316) with kNN
+    search (k = ``number_of_nn_for_LRF_``, benchmarks use 90).
+    """
+    idx, d2 = knn.knn_self(points, k, n_valid)
+    return toldi_frames_from_neighbors(points, idx)
+
+
+@jax.jit
+def toldi_frames_from_neighbors(points, idx):
+    """TOLDI given precomputed ascending-by-distance neighbor indices.
+
+    ``idx[:, 0]`` is the query point itself (FLANN convention,
+    ref:cpp:253-256)."""
+    dtype = points.dtype
+    n, k = idx.shape
+    nb = _gather_neighbors(points, idx)                  # [N,k,3]
+    p = points[:, None, :]                               # [N,1,3]
+
+    # radius = distance to the farthest of the k neighbors (ref:cpp:256)
+    radius = jnp.linalg.norm(nb[:, -1, :] - p[:, 0, :], axis=-1)
+
+    rz = k // 3
+    rank = jnp.arange(k)
+    # centroid: ranks 1..rz-1 summed, divided by rz (off-by-one kept,
+    # ref:cpp:259-265)
+    cen_mask = ((rank >= 1) & (rank < rz)).astype(dtype)[None, :, None]
+    centroid = jnp.sum(nb * cen_mask, axis=1) / jnp.asarray(rz, dtype)
+
+    # covariance: ranks 1..rz about the centroid (ref:cpp:268-272)
+    cov_mask = ((rank >= 1) & (rank < rz + 1)).astype(dtype)[None, :, None]
+    diff = (nb - centroid[:, None, :]) * cov_mask
+    cov = jnp.einsum("nki,nkj->nij", diff, diff)
+
+    normal = eigh3.smallest_eigvec3(cov)                 # [N,3]
+
+    # arrow accumulation over ranks 1..k-1 (ref:cpp:286-297)
+    v = nb - p                                           # [N,k,3]
+    arrow_mask = (rank >= 1).astype(dtype)[None, :, None]
+    v = v * arrow_mask
+    arrow_sum = jnp.sum(v, axis=1)
+    vnorm = jnp.linalg.norm(v, axis=-1)                  # [N,k]
+    ndot = jnp.einsum("ni,nki->nk", normal, v)
+    w1 = (radius[:, None] - vnorm) ** 2
+    w2 = ndot ** 2
+    # masked ranks contribute v=0 already, but w1 would be radius^2*0=0 ok
+    scaled_sum = jnp.sum((w1 * w2)[..., None] * v, axis=1)
+
+    # z sign fix (ref:cpp:298)
+    flip = jnp.sum(normal * arrow_sum, axis=-1) < 0.0
+    z = jnp.where(flip[:, None], -normal, normal)
+
+    # Gram-Schmidt x-axis (ref:cpp:300-303)
+    x = scaled_sum - jnp.sum(scaled_sum * z, -1, keepdims=True) * z
+    xn = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    eps = jnp.asarray(1e-30, dtype)
+    x = x / jnp.maximum(xn, eps)
+
+    y = jnp.cross(z, x)
+    rot = jnp.stack([x, y, z], axis=-1)                  # columns x,y,z
+    return rot, points
+
+
+@functools.partial(jax.jit, static_argnames=("max_k",))
+def shot_frames(points, radius: float, max_k: int = 128, n_valid=None):
+    """SHOT LRF frames (C4, ref:cpp:121-223), radius neighborhood
+    emulated with a masked top-``max_k`` kNN.
+
+    Returns (rot [N,3,3] columns x,y,z, origin [N,3]).
+    """
+    dtype = points.dtype
+    idx, d2 = knn.knn_self(points, max_k, n_valid)
+    nb = _gather_neighbors(points, idx)                  # [N,K,3]
+    p = points[:, None, :]
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    rank = jnp.arange(max_k)
+    in_r = (d2 <= radius * radius) & (rank[None, :] >= 1)  # skip self
+    w = jnp.where(in_r, radius - d, 0.0)                 # (radius - dist)
+    diffs = nb - p                                       # [N,K,3]
+    cov = jnp.einsum("nk,nki,nkj->nij", w, diffs, diffs)
+    total = jnp.sum(w, axis=1)
+    cov = cov / jnp.maximum(total, 1e-30)[:, None, None]
+
+    vals, vecs = eigh3.eigh3(cov)
+    x_plus = vecs[..., 2]                                # largest
+    z_plus = vecs[..., 0]                                # smallest
+
+    m = jnp.sum(in_r, axis=1)                            # num considered
+
+    def _disambiguate(axis):
+        dots = jnp.einsum("nki,ni->nk", diffs, axis)
+        s = jnp.sum((dots >= 0) & in_r, axis=1)
+        s2 = 2 * s - m
+        # median tie-break (ref:cpp:183-194): 5 samples centered at the
+        # median-rank neighbor; ranks here are ascending by distance with
+        # self at 0, so valid neighbors occupy ranks 1..m.
+        med = m // 2
+        offs = jnp.arange(-2, 3)
+        tie_rank = jnp.clip(med[:, None] - offs[None, :], 0, max_k - 1)
+        tie_dots = jnp.take_along_axis(dots, tie_rank, axis=1)
+        s_tie = jnp.sum(tie_dots >= 0, axis=1)
+        flip_tie = s_tie < 3
+        flip = jnp.where(s2 == 0, flip_tie, s2 < 0)
+        return jnp.where(flip[:, None], -axis, axis)
+
+    x_plus = _disambiguate(x_plus)
+    z_plus = _disambiguate(z_plus)
+    y_plus = jnp.cross(z_plus, x_plus)
+    rot = jnp.stack([x_plus, y_plus, z_plus], axis=-1)
+    return rot, points
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def estimate_normals(points, k: int = 30, n_valid=None):
+    """PCA normals via kNN neighborhoods (Open3D ``EstimateNormals``
+    analog, default KNN(30)).  Unoriented, like the reference's usage."""
+    idx, _ = knn.knn_self(points, k, n_valid)
+    nb = _gather_neighbors(points, idx)                  # [N,k,3]
+    mean = jnp.mean(nb, axis=1, keepdims=True)
+    diff = nb - mean
+    cov = jnp.einsum("nki,nkj->nij", diff, diff) / nb.shape[1]
+    return eigh3.smallest_eigvec3(cov)
+
+
+@jax.jit
+def rotation_from_e1_to_x(x):
+    """Open3D's private GetRotationFromE1ToX, copied by the reference
+    (ref:cpp:4-14) -- INCLUDING the c < -0.99 -> identity quirk."""
+    dtype = x.dtype
+    e1 = jnp.zeros_like(x).at[..., 0].set(1.0)
+    v = jnp.cross(e1, x)
+    c = x[..., 0]                                        # e1 . x
+    from se3_icp_tpu.utils.se3 import skew
+    sv = skew(v)
+    factor = 1.0 / (1.0 + jnp.where(c < -0.99, jnp.ones_like(c), c))
+    R = (jnp.eye(3, dtype=dtype) + sv
+         + (sv @ sv) * factor[..., None, None])
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), R.shape)
+    return jnp.where((c < -0.99)[..., None, None], eye, R)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "epsilon"))
+def gicp_covariances(points, k: int = 20, epsilon: float = 1e-3,
+                     n_valid=None):
+    """Per-point GICP covariances Sigma = Rx diag(eps,1,1) Rx^T from
+    kNN-20 normals (C14, ref:cpp:33-52)."""
+    normals = estimate_normals(points, k, n_valid)
+    Rx = rotation_from_e1_to_x(normals)
+    C = jnp.diag(jnp.asarray([epsilon, 1.0, 1.0], points.dtype))
+    return Rx @ C @ Rx.mT

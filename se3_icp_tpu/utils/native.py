@@ -1,0 +1,67 @@
+"""ctypes bridge to the optional C++ IO/runtime accelerator.
+
+The reference's runtime layer is native C++ (Open3D IO, FLANN trees,
+OpenMP loops).  The TPU compute path here is XLA/Pallas, but the host
+runtime around it (bulk file IO, benchmark data staging) has a native
+C++ counterpart in ``native/se3io.cpp``, built by ``native/Makefile``
+into ``native/libse3io.so``.  Everything degrades gracefully to numpy
+when the library has not been built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_HERE = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_CANDIDATES = [
+    os.path.join(_HERE, "native", "libse3io.so"),
+    os.path.join(os.path.dirname(__file__), "libse3io.so"),
+]
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("SE3_ICP_TPU_NO_NATIVE"):
+        return None
+    for cand in _CANDIDATES:
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.se3io_read_block.restype = ctypes.c_longlong
+                lib.se3io_read_block.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_void_p,
+                ]
+                _LIB = lib
+                break
+            except OSError:
+                continue
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_fixed_block(path, offset: int, count: int,
+                     dtype: np.dtype) -> np.ndarray:
+    """Read ``count`` records of ``dtype`` starting at byte ``offset``."""
+    lib = _load()
+    nbytes = count * dtype.itemsize
+    out = np.empty(count, dtype=dtype)
+    got = lib.se3io_read_block(
+        str(path).encode(), int(offset), int(nbytes),
+        out.ctypes.data_as(ctypes.c_void_p))
+    if got != nbytes:
+        raise ValueError(f"{path}: truncated read ({got} != {nbytes})")
+    return out

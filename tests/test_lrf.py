@@ -1,0 +1,124 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial import cKDTree
+from scipy.spatial.transform import Rotation
+
+from se3_icp_tpu.ops import lrf
+from se3_icp_tpu.utils import metrics, se3
+import oracles
+
+
+def bunny_sample(n=600, seed=0):
+    from se3_icp_tpu.utils import ply
+    cloud = ply.read_ply("/root/reference/stanford_bunny.ply")
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(cloud.points), n, replace=False)
+    return cloud.points[idx] * 50.0  # reference scales bunny by 50
+
+
+def test_toldi_matches_oracle():
+    pts = bunny_sample(500)
+    k = 30
+    rot, origin = lrf.toldi_frames(jnp.asarray(pts), k)
+    rot = np.asarray(rot)
+    tree = cKDTree(pts)
+    for i in range(0, 500, 37):
+        T_ref = oracles.toldi_frame_oracle(pts, pts[i], k, tree)
+        np.testing.assert_allclose(rot[i], T_ref[:3, :3], atol=1e-7,
+                                   err_msg=f"point {i}")
+    np.testing.assert_allclose(np.asarray(origin), pts)
+
+
+def test_toldi_frames_are_rotations():
+    pts = bunny_sample(400, seed=1)
+    rot, _ = lrf.toldi_frames(jnp.asarray(pts), 90)
+    rot = np.asarray(rot)
+    np.testing.assert_allclose(
+        np.einsum("nij,nik->njk", rot, rot),
+        np.tile(np.eye(3), (400, 1, 1)), atol=1e-9)
+    np.testing.assert_allclose(np.linalg.det(rot), 1.0, atol=1e-9)
+
+
+def test_toldi_equivariance_fixed_neighborhoods():
+    """LRF(R p + t) == R * LRF(p) when the kNN index sets are held fixed.
+
+    This isolates the frame *math* (centroid/cov/eigh/arrow weighting)
+    from kNN rank swaps: TOLDI itself, reference included, is only
+    equivariant up to neighbor-ordering ties, which random-downsampled
+    clouds hit constantly (the reference tolerates the resulting LRF
+    noise via the alpha weighting + trimming + annealing)."""
+    from se3_icp_tpu.ops import knn
+    pts = bunny_sample(500, seed=2)
+    R = Rotation.from_euler("xyz", [0.4, -0.3, 1.1]).as_matrix()
+    t = np.array([1.0, -2.0, 0.5])
+    pts2 = pts @ R.T + t
+    idx, _ = knn.knn_self(jnp.asarray(pts), 60)
+    rot1, _ = lrf.toldi_frames_from_neighbors(jnp.asarray(pts), idx)
+    rot2, _ = lrf.toldi_frames_from_neighbors(jnp.asarray(pts2), idx)
+    err = metrics.angular_error_so3_alt(
+        jnp.asarray(R) @ jnp.asarray(rot1), rot2)
+    assert float(jnp.max(err)) < 1e-4
+
+
+def test_toldi_lrf_quality_between_clouds(golden_problem):
+    """LRF quality on the golden pair via the reference's own oracle
+    (cc::evaluate_LRF_quality, ref:cc:63-114).  The golden clouds are the
+    *same* physical points, so error comes only from kNN rank swaps under
+    the GT rotation; the bulk of frames must still agree."""
+    src, tgt, T_gt = golden_problem
+    rot_s, _ = lrf.toldi_frames(jnp.asarray(src), 90)
+    rot_t, _ = lrf.toldi_frames(jnp.asarray(tgt), 90)
+    # GT correspondences (cc::compute_corrs_with_gt, ref:cc:116-143)
+    src_t = src @ T_gt[:3, :3].T + T_gt[:3, 3]
+    _, nn = cKDTree(tgt).query(src_t, k=1)
+    err = np.asarray(metrics.angular_error_so3_alt(
+        jnp.asarray(T_gt[:3, :3]) @ jnp.asarray(rot_s),
+        jnp.asarray(rot_t)[nn]))
+    assert np.median(err) < 30.0     # bulk agreement (degrees)
+    assert np.median(
+        np.abs((np.asarray(rot_s)[:, :, 2] @ T_gt[:3, :3].T
+                * np.asarray(rot_t)[nn][:, :, 2]).sum(1))) > 0.97
+
+
+def test_normals_match_oracle():
+    pts = bunny_sample(300, seed=3)
+    ours = np.asarray(lrf.estimate_normals(jnp.asarray(pts), 30))
+    ref = oracles.normals_oracle(pts, 30)
+    dots = np.abs(np.einsum("ni,ni->n", ours, ref))
+    assert dots.min() > 1 - 1e-8
+
+
+def test_rotation_from_e1_to_x():
+    for x in [np.array([1.0, 0, 0]), np.array([0, 1.0, 0]),
+              np.array([0, 0.6, 0.8]), np.array([-1.0, 1e-3, 0]),
+              np.array([-0.999, 0.04, 0.0])]:
+        x = x / np.linalg.norm(x)
+        ours = np.asarray(lrf.rotation_from_e1_to_x(jnp.asarray(x)))
+        ref = oracles.rotation_from_e1_to_x_oracle(x)
+        np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+
+def test_gicp_covariances_match_oracle():
+    pts = bunny_sample(200, seed=4)
+    ours = np.asarray(lrf.gicp_covariances(jnp.asarray(pts), 20, 1e-3))
+    ref = oracles.gicp_cov_oracle(pts, 20, 1e-3)
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_shot_frames_basic():
+    """SHOT LRF sanity: orthonormal right-handed frames; equivariance."""
+    pts = bunny_sample(400, seed=5)
+    # use a radius that captures a few dozen neighbors
+    tree = cKDTree(pts)
+    d, _ = tree.query(pts, k=20)
+    radius = float(np.median(d[:, -1]))
+    rot, _ = lrf.shot_frames(jnp.asarray(pts), radius, max_k=64)
+    rot = np.asarray(rot)
+    np.testing.assert_allclose(
+        np.einsum("nij,nik->njk", rot, rot),
+        np.tile(np.eye(3), (400, 1, 1)), atol=1e-8)
+    R = Rotation.from_euler("zxy", [0.7, 0.2, -0.4]).as_matrix()
+    rot2, _ = lrf.shot_frames(jnp.asarray(pts @ R.T), radius, max_k=64)
+    err = metrics.angular_error_so3_alt(jnp.asarray(R) @ jnp.asarray(rot),
+                                        rot2)
+    assert float(jnp.median(err)) < 0.5
