@@ -1,0 +1,345 @@
+"""The SE(3)-ICP registration engine: one jitted, fully on-device driver.
+
+Re-designs the reference's four ``run_*`` methods (ref:cpp:473-1128) as a
+single ``lax.while_loop`` program parameterized by static (mode, variant):
+
+  mode='icp'      -> run_icp          (C9,  ref:cpp:473-552)
+  mode='se3'      -> run_se3_icp      (C10, ref:cpp:555-739)
+  mode='se3_cf'   -> run_se3_icp_with_cf (C11, ref:cpp:742-959)
+  mode='se3_pure' -> run_se3_pure     (C15, ref:cpp:962-1128)
+
+TPU-first mechanics:
+  * clouds are padded to static bucket sizes with traced valid counts;
+  * the SE(3)->R3 "switch to vanilla ICP" annealing is NOT a control-flow
+    branch: both phases run through the SAME 12-D NN kernel, with the
+    rotation block of the query/target embeddings zeroed after the
+    switch (zeroing reduces the 12-D chordal metric exactly to the 3-D
+    euclidean one), so batched pairs in different phases share one
+    program;
+  * per-iteration state updates are masked by a ``done`` flag, so the
+    driver vmaps cleanly over a pair axis for data-parallel scale-out;
+  * everything between host upload and the final 4x4 download stays on
+    device -- no host sync inside the loop.
+
+Behavioral parity notes (SURVEY.md §5 quirks), all reproduced:
+  * the 12-D match uses alpha/beta-weighted frames, but trimming/MSE use
+    the R3 translation distance (ref:cpp:433-439);
+  * with_cf solves with confidence *weights* only -- the hard <0.15
+    filter in the reference is dead code due to a precedence bug
+    (ref:cpp:915) -- and weights multiply the GICP whitening matrix, so
+    they act quadratically (ref:cpp:78);
+  * with_cf packs the *unweighted* target points as the 12-D translation
+    rows (ref:cpp:834-836) vs the beta-weighted ones in run_se3_icp
+    (ref:cpp:622-624);
+  * post-switch convergence compares against ``scaling_factor * mse``
+    (ref:cpp:726) while vanilla ICP uses plain ``mse`` (ref:cpp:548);
+  * "MSE" is a mean of (non-squared) distances (ref:cpp:379-387), and
+    with_cf recomputes euclidean point distances instead
+    (ref:cpp:897 -> 390).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3_icp_tpu.ops import knn, lrf, solve, trim
+from se3_icp_tpu.utils import se3
+from se3_icp_tpu.utils.config import RegistrationConfig, parse_algorithm
+
+_BIG = 1e7  # reference initializes mse trackers to 1e7 (ref:cpp:485)
+
+
+@dataclass
+class RegistrationResult:
+    """Host-side result mirroring the reference's public outputs
+    (``current_estimated_T_``, ``num_iterations_``,
+    ``num_pure_se3_iterations_``, ref:hpp:92-98)."""
+
+    transformation: np.ndarray          # [4,4]
+    num_iterations: int
+    num_pure_se3_iterations: int
+
+
+def lounge_point_confidence(points):
+    """Depth-based RGB-D confidence (ref:cpp:16-30, from LSG-CPD).
+
+    conf = (p1*min_d + p2*min_d + p3) / (p1*d^2 + p2*d + p3); note the
+    numerator uses min_depth linearly in the quadratic term too -- that
+    is what the reference computes; kept verbatim.
+    """
+    d = points[..., 2]
+    p1, p2, p3, min_d = 0.002203, -0.001028, 0.0005351, 0.4
+    err = p1 * d * d + p2 * d + p3
+    return (p1 * min_d + p2 * min_d + p3) / err
+
+
+def _masked_centroid(pts, valid, n):
+    w = valid.astype(pts.dtype)[:, None]
+    return jnp.sum(pts * w, axis=0) / jnp.maximum(n.astype(pts.dtype), 1.0)
+
+
+def _largest_radius(pts, center, valid):
+    """largestDistanceFromGivenPoint (ref:cpp:112-119), masked."""
+    d = jnp.linalg.norm(pts - center, axis=-1)
+    return jnp.max(jnp.where(valid, d, -1.0))
+
+
+def _embed12(rot, trans):
+    """[N,3,3] frame rotations (columns x,y,z) + [N,3] translations
+    -> [N,12] column-major flattening, matching ref:cpp:423-426."""
+    n = rot.shape[0]
+    cols = jnp.swapaxes(rot, -1, -2).reshape(n, 9)  # c1,c2,c3 stacked
+    return jnp.concatenate([cols, trans], axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mode", "variant", "dp_axis"))
+def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
+                    mode: str, variant: str, dp_axis: str | None = None):
+    """Register one padded pair.  Returns (T [4,4] in original coords,
+    num_iterations, num_pure_se3_iterations).
+
+    ``src [Ns,3]``/``tgt [Nt,3]`` are padded; ``n_src``/``n_tgt`` are the
+    true counts.  ``cfg``/``mode``/``variant`` are static.
+    """
+    dtype = src.dtype
+    ns, nt = src.shape[0], tgt.shape[0]
+    src_valid = jnp.arange(ns) < n_src
+    tgt_valid = jnp.arange(nt) < n_tgt
+    is_se3 = mode != "icp"
+    use_cf = mode == "se3_cf"
+    eff_variant = "gicp" if use_cf else variant
+
+    # --- confidences (with_cf): on ORIGINAL coordinates (ref:cpp:756-782)
+    if use_cf:
+        conf_src = lounge_point_confidence(src)
+        conf_tgt = lounge_point_confidence(tgt)
+    else:
+        conf_src = conf_tgt = None
+
+    # --- preprocessing: center at own centroids, scale both by
+    #     s = scale_preprocessing / max_radius (ref:cpp:566-583)
+    if is_se3:
+        cen_s = _masked_centroid(src, src_valid, n_src)
+        cen_t = _masked_centroid(tgt, tgt_valid, n_tgt)
+        r_s = _largest_radius(src, cen_s, src_valid)
+        r_t = _largest_radius(tgt, cen_t, tgt_valid)
+        scaling = jnp.asarray(cfg.scale_preprocessing, dtype) / jnp.maximum(
+            jnp.maximum(r_s, r_t), jnp.asarray(1e-30, dtype))
+        src_c = (src - cen_s) * scaling
+        tgt_c = (tgt - cen_t) * scaling
+    else:
+        cen_s = cen_t = jnp.zeros(3, dtype)
+        scaling = jnp.asarray(1.0, dtype)
+        src_c, tgt_c = src, tgt
+
+    # keep padded rows away from the valid geometry so masked kNN of
+    # valid queries can never pick them up accidentally via NaNs etc.
+    src_c = jnp.where(src_valid[:, None], src_c, 0.0)
+    tgt_c = jnp.where(tgt_valid[:, None], tgt_c, 0.0)
+
+    # --- SE(3) frames + alpha/beta weighting (ref:cpp:586-626)
+    if is_se3:
+        alpha = jnp.asarray(cfg.alpha_rot, dtype)
+        beta = jnp.asarray(cfg.beta_transl, dtype)
+        rot_s0, _ = lrf.toldi_frames(src_c, cfg.number_of_nn_for_lrf, n_src)
+        rot_t0, _ = lrf.toldi_frames(tgt_c, cfg.number_of_nn_for_lrf, n_tgt)
+        frot_s0 = rot_s0 * alpha                     # [Ns,3,3]
+        ftra_s0 = src_c * beta                       # [Ns,3]
+        # target 12-D embedding, built once: rotation block alpha-weighted;
+        # translation rows are beta-weighted points for run_se3_icp /
+        # run_se3_pure (ref:cpp:622-624, 1032-1034) but the RAW
+        # centered+scaled points for with_cf (quirk, ref:cpp:834-836).
+        tgt_tr_A = tgt_c if use_cf else tgt_c * beta
+        tgt_embed_A = _embed12(rot_t0 * alpha, tgt_tr_A)
+        # beta-weighted target translations: trimming distance source
+        # in phase A (ref:cpp:465 uses target_se3_cloud_.col(3))
+        tgt_tr_beta = tgt_c * beta
+    else:
+        frot_s0 = ftra_s0 = tgt_embed_A = tgt_tr_beta = None
+
+    # phase-B target embedding: zero rotation block + raw points == plain
+    # 3-D euclidean NN through the same kernel
+    tgt_embed_B = _embed12(jnp.zeros((nt, 3, 3), dtype), tgt_c)
+
+    # --- variant-specific preparation
+    tgt_normals = cov_src0 = cov_tgt = None
+    if eff_variant == "pt2pl":
+        tgt_normals = lrf.estimate_normals(tgt_c, cfg.normals_knn, n_tgt)
+    elif eff_variant == "gicp":
+        cov_src0 = lrf.gicp_covariances(src_c, cfg.gicp_normals_knn,
+                                        cfg.gicp_epsilon, n_src)
+        cov_tgt = lrf.gicp_covariances(tgt_c, cfg.gicp_normals_knn,
+                                       cfg.gicp_epsilon, n_tgt)
+
+    # --- loop limits per mode
+    if mode == "icp":
+        start_switched = True       # R3 NN from the start, no SE3 phase
+        max_iters = cfg.max_num_iterations
+        stop_scale = 1.0            # plain mse_ (ref:cpp:548)
+    elif mode == "se3_pure":
+        start_switched = False
+        max_iters = cfg.max_num_se3_iterations
+        stop_scale = None           # uses scaling * mse (ref:cpp:1118)
+    else:
+        start_switched = False
+        max_iters = cfg.max_num_iterations
+        stop_scale = None
+
+    big = jnp.asarray(_BIG, dtype)
+
+    state = dict(
+        T=jnp.eye(4, dtype=dtype),
+        it=jnp.asarray(0, jnp.int32),
+        pure_it=jnp.asarray(0, jnp.int32),
+        mse_prev=big, mse_cur=big,
+        switched=jnp.asarray(start_switched),
+        done=jnp.asarray(False),
+    )
+
+    def cond(s):
+        return ~s["done"]
+
+    def body(s):
+        T = s["T"]
+        R = T[:3, :3]
+        tvec = T[:3, 3]
+        it = s["it"] + 1
+        switched = s["switched"]
+
+        src_moving = src_c @ R.T + tvec
+
+        # --- correspondence search through the unified 12-D kernel
+        if is_se3:
+            # current source frames = T o (weighted initial frames),
+            # replicating the per-iteration left-multiplication
+            # (ref:cpp:713-716)
+            cur_rot = jnp.einsum("ij,njk->nik", R, frot_s0)
+            cur_tra = ftra_s0 @ R.T + tvec
+            q_A = _embed12(cur_rot, cur_tra)
+            q = jnp.where(switched, _embed12(
+                jnp.zeros((ns, 3, 3), dtype), src_moving), q_A)
+            e = jnp.where(switched, tgt_embed_B, tgt_embed_A)
+        else:
+            q = _embed12(jnp.zeros((ns, 3, 3), dtype), src_moving)
+            e = tgt_embed_B
+        midx, _ = knn.nn_argmin(q, e, n_tgt)
+        tgt_m = tgt_c[midx]
+
+        # --- stored distance (trim + mse source): R3 metric in both
+        #     phases (ref:cpp:411, 436, 465)
+        if is_se3:
+            d_A = jnp.linalg.norm(cur_tra - tgt_tr_beta[midx], axis=-1)
+            d_B = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
+            dist = jnp.where(switched, d_B, d_A)
+        else:
+            dist = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
+
+        # --- trimmed rejection (ref:cpp:669-671)
+        kept = trim.trim_mask(dist, src_valid, cfg.estimated_overlap, n_src)
+
+        # --- convergence MSE (mean kept distance; with_cf recomputes
+        #     euclidean moving-vs-target, ref:cpp:897)
+        if use_cf:
+            mse_val = trim.masked_mean(
+                jnp.linalg.norm(src_moving - tgt_m, axis=-1), kept)
+        else:
+            mse_val = trim.masked_mean(dist, kept)
+        mse_prev = s["mse_cur"]
+        mse_rel = jnp.abs(mse_val - mse_prev)
+
+        # --- transform estimation
+        w = kept.astype(dtype)
+        if eff_variant == "pt2pt":
+            T_i = solve.solve_pt2pt(src_moving, tgt_m, w)
+        elif eff_variant == "pt2pl":
+            T_i = solve.solve_pt2pl(src_moving, tgt_m, tgt_normals[midx], w)
+        else:
+            cov_s_cur = jnp.einsum("ij,njk,lk->nil", R, cov_src0, R)
+            conf = None
+            if use_cf:
+                conf = 0.5 * (conf_src + conf_tgt[midx])
+            T_i = solve.solve_gicp(src_moving, tgt_m, cov_s_cur,
+                                   cov_tgt[midx], w, conf)
+
+        T_new = T_i @ T
+        t_change = jnp.linalg.norm(T - T_new)  # ref:cpp:711 Frobenius
+
+        # --- phase switch / stopping (ref:cpp:718-729)
+        stop_thresh = jnp.asarray(cfg.mse, dtype) * (
+            jnp.asarray(stop_scale, dtype) if stop_scale is not None
+            else scaling)
+        if mode == "se3_pure":
+            new_switched = switched
+            new_done = ((it == max_iters) | (mse_rel < stop_thresh))
+        elif mode == "icp":
+            new_switched = switched
+            new_done = (it == max_iters) | (mse_rel < stop_thresh)
+        else:
+            hit_switch = ((it == cfg.max_num_se3_iterations)
+                          | (t_change < jnp.asarray(cfg.mse_switch_error,
+                                                    dtype)))
+            new_switched = switched | hit_switch
+            new_done = switched & ((it == max_iters)
+                                   | (mse_rel < stop_thresh))
+
+        done_before = s["done"]
+
+        def keep(old, new):
+            return jax.tree.map(
+                lambda o, n: jnp.where(done_before, o, n), old, new)
+
+        return dict(
+            T=keep(s["T"], T_new),
+            it=keep(s["it"], it),
+            pure_it=keep(s["pure_it"],
+                         s["pure_it"] + (~switched).astype(jnp.int32)),
+            mse_prev=keep(s["mse_prev"], mse_prev),
+            mse_cur=keep(s["mse_cur"], mse_val),
+            switched=keep(s["switched"], new_switched),
+            done=done_before | new_done,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # --- back to original coordinates (ref:cpp:734-738)
+    T = state["T"]
+    if is_se3:
+        Rp = T[:3, :3]
+        tp = T[:3, 3]
+        t_orig = tp / scaling - Rp @ cen_s + cen_t
+        T = se3.rt_to_T(Rp, t_orig)
+    return T, state["it"], state["pure_it"]
+
+
+def _bucket(n: int, quantum: int = 512) -> int:
+    """Round up to a bucket size to bound the number of compilations."""
+    return max(quantum, -(-n // quantum) * quantum)
+
+
+def register_pair(source_points, target_points, algorithm: str = "se3_pt2pl",
+                  cfg: RegistrationConfig | None = None,
+                  dtype=jnp.float32) -> RegistrationResult:
+    """Host-facing entry point over the reference's algorithm-name surface
+    (pt2pt/pt2pl/gicp, se3_*, se3_gicp_with_cf, se3_pure_*)."""
+    mode, variant = parse_algorithm(algorithm)
+    cfg = cfg or RegistrationConfig()
+    src = np.asarray(source_points, dtype=np.float64)
+    tgt = np.asarray(target_points, dtype=np.float64)
+    ns, nt = len(src), len(tgt)
+    src_p = np.zeros((_bucket(ns), 3), dtype)
+    src_p[:ns] = src
+    tgt_p = np.zeros((_bucket(nt), 3), dtype)
+    tgt_p[:nt] = tgt
+    T, it, pure_it = register_arrays(
+        jnp.asarray(src_p), jnp.asarray(ns, jnp.int32),
+        jnp.asarray(tgt_p), jnp.asarray(nt, jnp.int32), cfg, mode, variant)
+    return RegistrationResult(
+        transformation=np.asarray(T, np.float64),
+        num_iterations=int(it),
+        num_pure_se3_iterations=int(pure_it))

@@ -16,7 +16,15 @@ Batched TPU re-design of the reference's per-point OpenMP loops:
 Intentional parity quirks (SURVEY.md §5):
   * TOLDI centroid off-by-one: neighbors ranked 1..k//3-1 are summed but
     the sum is divided by k//3 (ref:cpp:259-265), while the covariance
-    uses ranks 1..k//3 (ref:cpp:268-272).  Reproduced exactly.
+    uses ranks 1..k//3 (ref:cpp:268-272).  Reproduced exactly by default.
+    NOTE (discovered by the equivariance test): because the divisor makes
+    the centroid a non-affine combination (coefficients sum to
+    (rz-1)/rz != 1), the reference's TOLDI covariance is NOT
+    translation-invariant -- frames depend on the cloud's absolute
+    position.  The reference gets away with it by centering clouds before
+    frame estimation (ref:cpp:576-582).  ``exact_centroid=True`` divides
+    by rz-1 instead, restoring full rigid equivariance; default stays
+    reference-faithful.
 """
 
 from __future__ import annotations
@@ -34,8 +42,8 @@ def _gather_neighbors(points, idx):
     return points[idx]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def toldi_frames(points, k: int, n_valid=None):
+@functools.partial(jax.jit, static_argnames=("k", "exact_centroid"))
+def toldi_frames(points, k: int, n_valid=None, exact_centroid: bool = False):
     """TOLDI SE(3) frames for every point of a cloud.
 
     Returns (rot [N,3,3] with columns x,y,z, origin [N,3]).
@@ -43,11 +51,12 @@ def toldi_frames(points, k: int, n_valid=None):
     search (k = ``number_of_nn_for_LRF_``, benchmarks use 90).
     """
     idx, d2 = knn.knn_self(points, k, n_valid)
-    return toldi_frames_from_neighbors(points, idx)
+    return toldi_frames_from_neighbors(points, idx,
+                                       exact_centroid=exact_centroid)
 
 
-@jax.jit
-def toldi_frames_from_neighbors(points, idx):
+@functools.partial(jax.jit, static_argnames=("exact_centroid",))
+def toldi_frames_from_neighbors(points, idx, exact_centroid: bool = False):
     """TOLDI given precomputed ascending-by-distance neighbor indices.
 
     ``idx[:, 0]`` is the query point itself (FLANN convention,
@@ -62,10 +71,12 @@ def toldi_frames_from_neighbors(points, idx):
 
     rz = k // 3
     rank = jnp.arange(k)
-    # centroid: ranks 1..rz-1 summed, divided by rz (off-by-one kept,
-    # ref:cpp:259-265)
+    # centroid: ranks 1..rz-1 summed, divided by rz (off-by-one kept for
+    # parity, ref:cpp:259-265; exact_centroid divides by rz-1, restoring
+    # translation invariance -- see module docstring)
     cen_mask = ((rank >= 1) & (rank < rz)).astype(dtype)[None, :, None]
-    centroid = jnp.sum(nb * cen_mask, axis=1) / jnp.asarray(rz, dtype)
+    divisor = (rz - 1) if exact_centroid else rz
+    centroid = jnp.sum(nb * cen_mask, axis=1) / jnp.asarray(divisor, dtype)
 
     # covariance: ranks 1..rz about the centroid (ref:cpp:268-272)
     cov_mask = ((rank >= 1) & (rank < rz + 1)).astype(dtype)[None, :, None]

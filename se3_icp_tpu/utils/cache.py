@@ -25,6 +25,8 @@ def enable_persistent_cache(path: str | None = None) -> None:
         return
     path = path or os.environ.get("SE3_ICP_TPU_CACHE_DIR", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
+    # silence the cpu_aot_loader machine-feature chatter on cache hits
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

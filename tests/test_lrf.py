@@ -39,22 +39,38 @@ def test_toldi_frames_are_rotations():
     np.testing.assert_allclose(np.linalg.det(rot), 1.0, atol=1e-9)
 
 
-def test_toldi_equivariance_fixed_neighborhoods():
-    """LRF(R p + t) == R * LRF(p) when the kNN index sets are held fixed.
+def test_toldi_rotation_equivariance_fixed_neighborhoods():
+    """LRF(R p) == R * LRF(p) with fixed kNN index sets.
 
-    This isolates the frame *math* (centroid/cov/eigh/arrow weighting)
-    from kNN rank swaps: TOLDI itself, reference included, is only
-    equivariant up to neighbor-ordering ties, which random-downsampled
-    clouds hit constantly (the reference tolerates the resulting LRF
-    noise via the alpha weighting + trimming + annealing)."""
+    Isolates the frame math from kNN rank swaps.  Pure rotation only:
+    the reference's centroid off-by-one makes its TOLDI covariance
+    NOT translation-invariant (see lrf.py docstring), so rigid
+    equivariance holds only in ``exact_centroid`` mode (next test)."""
+    from se3_icp_tpu.ops import knn
+    pts = bunny_sample(500, seed=2)
+    R = Rotation.from_euler("xyz", [0.4, -0.3, 1.1]).as_matrix()
+    pts2 = pts @ R.T
+    idx, _ = knn.knn_self(jnp.asarray(pts), 60)
+    rot1, _ = lrf.toldi_frames_from_neighbors(jnp.asarray(pts), idx)
+    rot2, _ = lrf.toldi_frames_from_neighbors(jnp.asarray(pts2), idx)
+    err = metrics.angular_error_so3_alt(
+        jnp.asarray(R) @ jnp.asarray(rot1), rot2)
+    assert float(jnp.max(err)) < 1e-4
+
+
+def test_toldi_rigid_equivariance_exact_centroid():
+    """Full rigid (R, t) equivariance holds with the corrected centroid
+    divisor (exact_centroid=True)."""
     from se3_icp_tpu.ops import knn
     pts = bunny_sample(500, seed=2)
     R = Rotation.from_euler("xyz", [0.4, -0.3, 1.1]).as_matrix()
     t = np.array([1.0, -2.0, 0.5])
     pts2 = pts @ R.T + t
     idx, _ = knn.knn_self(jnp.asarray(pts), 60)
-    rot1, _ = lrf.toldi_frames_from_neighbors(jnp.asarray(pts), idx)
-    rot2, _ = lrf.toldi_frames_from_neighbors(jnp.asarray(pts2), idx)
+    rot1, _ = lrf.toldi_frames_from_neighbors(jnp.asarray(pts), idx,
+                                              exact_centroid=True)
+    rot2, _ = lrf.toldi_frames_from_neighbors(jnp.asarray(pts2), idx,
+                                              exact_centroid=True)
     err = metrics.angular_error_so3_alt(
         jnp.asarray(R) @ jnp.asarray(rot1), rot2)
     assert float(jnp.max(err)) < 1e-4

@@ -1,0 +1,133 @@
+"""End-to-end registration tests.
+
+The reference's own test strategy (SURVEY.md §4): solve committed /
+protocol-defined problems and check the <=2 deg / <=0.25 success bounds
+(benchmark_synthetic.cpp:410-413)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from se3_icp_tpu.models import registration as reg
+from se3_icp_tpu.utils import metrics
+from se3_icp_tpu.utils.config import GOLDEN, RegistrationConfig
+from se3_icp_tpu.datasets import synthetic
+
+
+def _errors(T_est, T_gt):
+    so3 = float(metrics.angular_error_so3(T_est[:3, :3], T_gt[:3, :3]))
+    tra = float(np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3]))
+    return so3, tra
+
+
+ALL_ALGS = ["pt2pt", "pt2pl", "gicp", "se3_pt2pt", "se3_pt2pl", "se3_gicp"]
+
+
+@pytest.mark.parametrize("alg", ALL_ALGS)
+def test_golden_problem(golden_problem, alg):
+    """run_registration_method protocol on the committed fixture
+    (examples/run_registration_method.cpp)."""
+    src, tgt, T_gt = golden_problem
+    res = reg.register_pair(src, tgt, alg, GOLDEN, dtype=jnp.float64)
+    so3, tra = _errors(res.transformation, T_gt)
+    assert so3 <= 2.0 and tra <= 0.25, (alg, so3, tra)
+    # identical point sets: should converge essentially exactly
+    assert so3 < 0.01 and tra < 0.01, (alg, so3, tra)
+
+
+def test_golden_problem_float32(golden_problem):
+    """TPU dtype: still well inside the success bounds."""
+    src, tgt, T_gt = golden_problem
+    res = reg.register_pair(src, tgt, "se3_pt2pl", GOLDEN,
+                            dtype=jnp.float32)
+    so3, tra = _errors(res.transformation, T_gt)
+    assert so3 < 0.05 and tra < 0.01, (so3, tra)
+
+
+@pytest.mark.parametrize("alg", ["se3_pt2pl", "se3_gicp"])
+def test_synthetic_moderate(alg):
+    """Noisy moderate-difficulty protocol (benchmark_synthetic.cpp):
+    independent downsample + gaussian noise."""
+    prob = synthetic.synthetic_problem("moderate", 0.005, seed=3)
+    res = reg.register_pair(prob.source, prob.target, alg, GOLDEN,
+                            dtype=jnp.float64)
+    so3, tra = _errors(res.transformation, prob.T_gt)
+    assert so3 <= 2.0 and tra <= 0.25, (alg, so3, tra)
+
+
+def test_se3_pure_converges():
+    """run_se3_pure with small alpha (docstring at ref:cpp:963-971)."""
+    prob = synthetic.golden_like_problem(seed=2)
+    cfg = GOLDEN.replace(alpha_rot=0.1, max_num_se3_iterations=30)
+    res = reg.register_pair(prob.source, prob.target, "se3_pure_pt2pl",
+                            cfg, dtype=jnp.float64)
+    so3, tra = _errors(res.transformation, prob.T_gt)
+    assert so3 <= 2.0 and tra <= 0.25, (so3, tra)
+    assert res.num_pure_se3_iterations == res.num_iterations
+
+
+def test_se3_gicp_with_cf():
+    """Confidence-weighted GICP variant: depth-shifted cloud so the
+    lounge confidence model (ref:cpp:16-30) yields sane weights."""
+    prob = synthetic.golden_like_problem(seed=4)
+    # put the cloud into a plausible RGB-D depth range (meters)
+    src = prob.source * 0.1
+    src[:, 2] += 2.0
+    T = prob.T_gt.copy()
+    T[:3, 3] *= 0.1
+    tgt = src @ T[:3, :3].T + T[:3, 3]
+    cfg = GOLDEN.replace(estimated_overlap=0.75)
+    res = reg.register_pair(src, tgt, "se3_gicp_with_cf", cfg,
+                            dtype=jnp.float64)
+    so3, tra = _errors(res.transformation, T)
+    assert so3 <= 2.0 and tra <= 0.25, (so3, tra)
+
+
+def test_iteration_caps_respected():
+    prob = synthetic.synthetic_problem("difficult", 0.02, seed=5)
+    cfg = RegistrationConfig(max_num_iterations=7, max_num_se3_iterations=3,
+                             number_of_nn_for_lrf=30)
+    res = reg.register_pair(prob.source, prob.target, "se3_pt2pt", cfg,
+                            dtype=jnp.float64)
+    assert res.num_iterations <= 7
+    assert res.num_pure_se3_iterations <= 3
+    res2 = reg.register_pair(prob.source, prob.target, "se3_pure_pt2pt",
+                             cfg, dtype=jnp.float64)
+    assert res2.num_iterations <= 3
+
+
+def test_trimmed_overlap_partial_clouds():
+    """Partial overlap: crop half the target; trimming should still
+    recover the motion."""
+    prob = synthetic.golden_like_problem(seed=6)
+    src = prob.source
+    # target keeps only points with x below the median (≈50% overlap is
+    # too harsh; keep 75%)
+    tgt_full = prob.target
+    thresh = np.quantile(tgt_full[:, 0], 0.75)
+    tgt = tgt_full[tgt_full[:, 0] < thresh]
+    cfg = GOLDEN.replace(estimated_overlap=0.7)
+    res = reg.register_pair(src, tgt, "se3_pt2pl", cfg, dtype=jnp.float64)
+    so3, tra = _errors(res.transformation, prob.T_gt)
+    assert so3 <= 2.0 and tra <= 0.25, (so3, tra)
+
+
+def test_invalid_algorithm_name():
+    with pytest.raises(ValueError, match="Not a valid algorithm name"):
+        reg.register_pair(np.zeros((10, 3)), np.zeros((10, 3)), "nope")
+
+
+def test_padding_invariance(golden_problem):
+    """Result must not depend on the padded bucket size."""
+    src, tgt, T_gt = golden_problem
+    r1 = reg.register_pair(src, tgt, "se3_pt2pl", GOLDEN,
+                           dtype=jnp.float64)
+    # force a different bucket by appending far-away dummy rows that are
+    # excluded via n_valid (register_pair pads internally; emulate by
+    # slicing a prefix so bucket changes: 4167 -> pads 4608; use 4000)
+    r2 = reg.register_pair(src[:4000], tgt, "se3_pt2pl", GOLDEN,
+                           dtype=jnp.float64)
+    # both should solve the problem
+    for r in (r1, r2):
+        so3, tra = _errors(r.transformation, T_gt)
+        assert so3 < 0.05 and tra < 0.05
