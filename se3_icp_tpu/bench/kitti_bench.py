@@ -1,0 +1,87 @@
+"""KITTI sequence 07 scan-to-scan benchmark (examples/benchmark_kitti.cpp).
+
+Protocol: clouds ``Sequence_07/Downsampled/%06d.ply`` for i = 0..1100
+step 2 (551 clouds -> 550 pairs, :101-107,120); GT poses from ``07.txt``
+reading EVERY OTHER line to match the step-2 clouds (:79-98);
+source = cloud[i+1], target = cloud[i] (:130-131); per-method configs
+(:133-148): vanilla overlap 0.8; se3 overlap 0.7, mse 1e-7, switch 5e-7,
+max_se3 10, LRF k=90.  Metrics (:199-206): mean/max relative + absolute
+rotation (SO3 deg) and translation errors, last-frame drift, avg time."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from se3_icp_tpu.bench import common
+from se3_icp_tpu.utils import metrics_host, ply
+from se3_icp_tpu.utils.config import KITTI_SE3, KITTI_VANILLA
+
+
+def load_kitti(folder: str, max_index=1100, step=2):
+    poses = ply.read_trajectory_12col(
+        os.path.join(folder, "Sequence_07", "07.txt"))
+    poses = poses[::2]  # every other line (benchmark_kitti.cpp:79-98)
+    clouds = []
+    for i in range(0, max_index + 1, step):
+        path = os.path.join(folder, "Sequence_07", "Downsampled",
+                            f"{i:06d}.ply")
+        clouds.append(ply.read_ply(path).points)
+    return clouds, poses
+
+
+def benchmark_kitti(algorithm: str, folder: str, rot_alpha=3.0, mesh=None,
+                    checkpoint=None, dtype=np.float32, max_index=1100):
+    clouds, poses = load_kitti(folder, max_index)
+    # source = cloud[i+1], target = cloud[i] (:130-131)
+    pairs = [(clouds[i + 1], clouds[i]) for i in range(len(clouds) - 1)]
+    cfg = (KITTI_VANILLA if algorithm in ("pt2pt", "pt2pl", "gicp")
+           else KITTI_SE3).replace(alpha_rot=rot_alpha)
+    outcomes = common.run_pairs(pairs, algorithm, cfg, mesh=mesh,
+                                checkpoint=checkpoint, dtype=dtype)
+
+    rel_rot, rel_tra, abs_rot, abs_tra, times = [], [], [], [], []
+    T_acc = np.eye(4)
+    for i in range(len(pairs)):
+        o = outcomes[i]
+        gt = np.linalg.inv(poses[i]) @ poses[i + 1]
+        rel_rot.append(metrics_host.angular_error_so3(
+            o.T_est[:3, :3], gt[:3, :3]))
+        rel_tra.append(metrics_host.translation_error(
+            o.T_est[:3, 3], gt[:3, 3]))
+        T_acc = T_acc @ o.T_est
+        abs_rot.append(metrics_host.angular_error_so3(
+            T_acc[:3, :3], poses[i + 1][:3, :3]))
+        abs_tra.append(metrics_host.translation_error(
+            T_acc[:3, 3], poses[i + 1][:3, 3]))
+        times.append(o.wall_ms)
+    report = {
+        "algorithm": algorithm,
+        "num_pairs": len(pairs),
+        "mean_rel_rot": float(np.mean(rel_rot)),
+        "max_rel_rot": float(np.max(rel_rot)),
+        "mean_rel_tra": float(np.mean(rel_tra)),
+        "max_rel_tra": float(np.max(rel_tra)),
+        "mean_abs_rot": float(np.mean(abs_rot)),
+        "max_abs_rot": float(np.max(abs_rot)),
+        "mean_abs_tra": float(np.mean(abs_tra)),
+        "max_abs_tra": float(np.max(abs_tra)),
+        "last_frame_rot_error": float(abs_rot[-1]),
+        "last_frame_tra_error": float(abs_tra[-1]),
+        "avg_time_ms": float(np.mean(times)),
+    }
+    print(f"===== Kitti sequence 07 results of algorithm: "
+          f"{algorithm} =====")
+    print(f"Mean(max) REL rot error = {report['mean_rel_rot']} "
+          f"({report['max_rel_rot']})")
+    print(f"Mean(max) REL tra error = {report['mean_rel_tra']} "
+          f"({report['max_rel_tra']})")
+    print(f"Mean(max) ABS rot error = {report['mean_abs_rot']} "
+          f"({report['max_abs_rot']})")
+    print(f"Mean(max) ABS tra error = {report['mean_abs_tra']} "
+          f"({report['max_abs_tra']})")
+    print(f"Last frame rot error    = {report['last_frame_rot_error']}")
+    print(f"Last frame tra error    = {report['last_frame_tra_error']}")
+    print(f"Avg time = {report['avg_time_ms']:.2f} ms")
+    return report

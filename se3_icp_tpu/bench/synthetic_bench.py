@@ -1,0 +1,73 @@
+"""Synthetic-bunny benchmark (examples/benchmark_synthetic.cpp).
+
+Protocol: saved problems ``source{i}.ply``/``target{i}.ply`` + ``gt_data``
+(12 numbers/row); per-problem config overlap=1.0, max_se3=10, mse=1e-5,
+switch=5e-5, LRF k=90 (benchmark_synthetic.cpp:356-363); success iff
+SO(3) err <= 2 deg and translation err <= 0.25 (:410-413); report success
+rate + avg time (:440-448).  Supports the alpha (rotation-scale) sweep
+(:472-477)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from se3_icp_tpu.bench import common
+from se3_icp_tpu.datasets import synthetic
+from se3_icp_tpu.utils import metrics_host
+from se3_icp_tpu.utils.config import GOLDEN
+
+
+def benchmark_on_saved_data(algorithm: str, folder: str, rot_alpha=3.0,
+                            mesh=None, checkpoint=None, dtype=np.float32):
+    problems = synthetic.load_problem_folder(folder)
+    if not problems:
+        raise FileNotFoundError(f"no problems found in {folder}")
+    cfg = GOLDEN.replace(alpha_rot=rot_alpha)
+    outcomes = common.run_pairs([(p.source, p.target) for p in problems],
+                                algorithm, cfg, mesh=mesh,
+                                checkpoint=checkpoint, dtype=dtype)
+    fails, times = 0, []
+    for i, prob in enumerate(problems):
+        o = outcomes[i]
+        ok = metrics_host.success(prob.T_gt, o.T_est)
+        fails += (not ok)
+        times.append(o.wall_ms)
+    n = len(problems)
+    report = {
+        "algorithm": algorithm,
+        "rot_alpha": rot_alpha,
+        "num_problems": n,
+        "num_fails": fails,
+        "success_rate": (n - fails) / n,
+        "avg_time_ms": float(np.mean(times)),
+    }
+    print(f"===== Synthetic data results of algorithm: {algorithm} =====")
+    print(f"Data folder: {folder}")
+    print(f"Num of fails over {n} problems is: {fails}")
+    print(f"success rate     = {report['success_rate']}")
+    print(f"avg time overall = {report['avg_time_ms']:.2f} ms")
+    return report
+
+
+def alpha_sweep(algorithm: str, folder: str, out_file=None, mesh=None):
+    """benchmark_different_rot_scales (benchmark_synthetic.cpp:472-477)."""
+    reports = []
+    for alpha in common.hybrid_alpha_grid():
+        rep = benchmark_on_saved_data(algorithm, folder, rot_alpha=alpha,
+                                      mesh=mesh)
+        reports.append(rep)
+        if out_file:
+            with open(out_file, "a") as f:
+                f.write(f"{algorithm} | rot_alpha = {alpha} | "
+                        f"success_rate = {rep['success_rate']}\n")
+    return reports
+
+
+def generate_dataset(folder: str, num_cases=30, difficulty="moderate",
+                     noise=0.005, seed0=1):
+    """Dataset factory (write_data path of
+    syntetic_experiment_noisy_over_common_cases, :162-182)."""
+    problems = [synthetic.synthetic_problem(difficulty, noise, seed0 + i)
+                for i in range(num_cases)]
+    synthetic.save_problem_folder(folder, problems)
+    return problems

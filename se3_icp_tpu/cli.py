@@ -1,0 +1,248 @@
+"""Command-line surface mirroring the reference's nine example binaries
+(CMakeLists.txt:42-76) as subcommands:
+
+  run                 <- run_registration_method
+  example             <- registration_example
+  create-problem      <- create_and_save_reg_problem
+  bench-synthetic     <- benchmark_synthetic
+  bench-lounge        <- benchmark_lounge
+  bench-kitti         <- benchmark_kitti
+  bench-extreme-noise <- benchmark_extreme_noise_bunny
+  test-se3-pure       <- test_se3_pure
+  eval-traj           <- cc::evaluate_trajectory_quality
+
+Usage: ``python -m se3_icp_tpu <subcommand> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from se3_icp_tpu.utils.cache import enable_persistent_cache
+from se3_icp_tpu.utils.config import (ALGORITHMS, GOLDEN, LOUNGE,
+                                      RegistrationConfig)
+
+
+def _add_common(p):
+    p.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float32")
+    p.add_argument("--checkpoint", default=None,
+                   help="JSONL per-pair checkpoint file (resumable)")
+    p.add_argument("--json", action="store_true",
+                   help="print a final machine-readable JSON report")
+
+
+def cmd_run(args):
+    """run_registration_method (examples/run_registration_method.cpp)."""
+    import jax.numpy as jnp
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.utils import ply
+    src = ply.read_ply(args.source)
+    tgt = ply.read_ply(args.target)
+    print(f"source point cloud size = {len(src)}")
+    print(f"target point cloud size = {len(tgt)}")
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    res = reg.register_pair(src.points, tgt.points, args.algorithm,
+                            GOLDEN, dtype=dtype)
+    print("Estimated transformation = ")
+    np.savetxt(sys.stdout, res.transformation, fmt="%10.6f")
+    if args.json:
+        print(json.dumps({"T": res.transformation.tolist(),
+                          "num_iterations": res.num_iterations}))
+
+
+def cmd_example(args):
+    """registration_example (self-contained bunny demo)."""
+    import jax.numpy as jnp
+    from se3_icp_tpu.datasets import synthetic
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.utils import metrics_host
+    from scipy.spatial.transform import Rotation
+    rng = np.random.default_rng(1)
+    bunny = synthetic.load_bunny(scale=1.0)
+    src = synthetic.random_downsample(bunny, 0.02, rng)
+    T_gt = np.eye(4)
+    T_gt[:3, :3] = Rotation.from_euler(
+        "xyz", [np.pi / 5, np.pi / 4, np.pi / 6]).as_matrix()
+    T_gt[:3, 3] = (2.5, 3.5, 1.2)
+    tgt = synthetic.random_downsample(
+        bunny @ T_gt[:3, :3].T + T_gt[:3, 3], 0.02, rng)
+    res = reg.register_pair(src, tgt, "se3_pt2pl", GOLDEN,
+                            dtype=jnp.float32)
+    print("Estimated transformation = ")
+    np.savetxt(sys.stdout, res.transformation, fmt="%10.6f")
+    print("Ground truth transformation = ")
+    np.savetxt(sys.stdout, T_gt, fmt="%10.6f")
+    print(f"SO3 error = "
+          f"{metrics_host.angular_error_so3(res.transformation[:3, :3], T_gt[:3, :3]):.4f} deg")
+
+
+def cmd_create_problem(args):
+    """create_and_save_reg_problem."""
+    from se3_icp_tpu.datasets import synthetic
+    from se3_icp_tpu.utils import ply
+    import os
+    prob = synthetic.golden_like_problem(seed=args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    ply.write_ply(os.path.join(args.out, "source.ply"), prob.source)
+    ply.write_ply(os.path.join(args.out, "target.ply"), prob.target)
+    np.savetxt(os.path.join(args.out, "transformation_gt.txt"),
+               prob.T_gt, fmt="%9.6f")
+    print(f"Registration problem data written to {args.out}")
+    print("Gt transformation = ")
+    np.savetxt(sys.stdout, prob.T_gt, fmt="%10.6f")
+
+
+def cmd_bench_synthetic(args):
+    from se3_icp_tpu.bench import synthetic_bench
+    if args.generate:
+        synthetic_bench.generate_dataset(args.folder, args.num_cases,
+                                         args.difficulty, args.noise)
+        print(f"dataset written to {args.folder}")
+        return
+    if args.alpha_sweep:
+        rep = synthetic_bench.alpha_sweep(args.algorithm, args.folder,
+                                          args.out_file)
+    else:
+        rep = synthetic_bench.benchmark_on_saved_data(
+            args.algorithm, args.folder, rot_alpha=args.rot_alpha,
+            checkpoint=args.checkpoint, dtype=np.dtype(args.dtype))
+    if args.json:
+        print(json.dumps(rep))
+
+
+def cmd_bench_lounge(args):
+    from se3_icp_tpu.bench import lounge_bench
+    rep = lounge_bench.benchmark_lounge(
+        args.algorithm, args.folder, rot_alpha=args.rot_alpha,
+        checkpoint=args.checkpoint, dtype=np.dtype(args.dtype))
+    if args.json:
+        print(json.dumps(rep))
+
+
+def cmd_bench_kitti(args):
+    from se3_icp_tpu.bench import kitti_bench
+    rep = kitti_bench.benchmark_kitti(
+        args.algorithm, args.folder, rot_alpha=args.rot_alpha,
+        checkpoint=args.checkpoint, dtype=np.dtype(args.dtype),
+        max_index=args.max_index)
+    if args.json:
+        print(json.dumps(rep))
+
+
+def cmd_bench_extreme_noise(args):
+    from se3_icp_tpu.bench import extreme_noise_bench
+    if args.generate:
+        extreme_noise_bench.generate_dataset(args.folder)
+        print(f"dataset written to {args.folder}")
+        return
+    errors = extreme_noise_bench.benchmark_extreme_noise(
+        args.algorithm, args.folder, dtype=np.dtype(args.dtype))
+    if args.json:
+        print(json.dumps({"errors": errors}))
+
+
+def cmd_test_se3_pure(args):
+    """test_se3_pure: alpha sweep of run_se3_pure variants on lounge
+    (examples/test_se3_pure.cpp: max_se3=30)."""
+    from se3_icp_tpu.bench import common, lounge_bench
+    from se3_icp_tpu.utils import metrics_host
+    pairs, gts = lounge_bench.load_lounge_pairs(args.folder)
+    for alpha in common.hybrid_alpha_grid():
+        cfg = LOUNGE.replace(alpha_rot=alpha, max_num_se3_iterations=30)
+        outcomes = common.run_pairs(pairs, args.algorithm, cfg,
+                                    dtype=np.dtype(args.dtype),
+                                    verbose=False)
+        eul = np.mean([metrics_host.avg_euler_error(
+            outcomes[i].T_est[:3, :3], gts[i][:3, :3])
+            for i in range(len(pairs))])
+        print(f"{args.algorithm} | rot_alpha = {alpha} | "
+              f"avg_eul_angle_error = {eul}")
+
+
+def cmd_eval_traj(args):
+    from se3_icp_tpu.utils import metrics, ply
+    gt = ply.read_trajectory_12col(args.gt)
+    est = ply.read_trajectory_12col(args.est)
+    rep = metrics.evaluate_trajectory_quality(gt, est)
+    print(f"Average translation error = {rep['avg_translation_error']}")
+    print(f"Average rotation    error = {rep['avg_rotation_error']}")
+    print(f"Success rate              = {rep['success_rate']}")
+    if args.json:
+        print(json.dumps(rep))
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="se3_icp_tpu",
+        description="TPU-native SE(3)-ICP registration engine")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="register two PLY files")
+    p.add_argument("algorithm", choices=[a for a in ALGORITHMS
+                                         if not a.startswith("se3_pure")])
+    p.add_argument("source")
+    p.add_argument("target")
+    _add_common(p)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("example", help="self-contained bunny demo")
+    _add_common(p)
+    p.set_defaults(fn=cmd_example)
+
+    p = sub.add_parser("create-problem")
+    p.add_argument("--out", default="created_example_reg_problem")
+    p.add_argument("--seed", type=int, default=1)
+    p.set_defaults(fn=cmd_create_problem)
+
+    for name, fn in [("bench-synthetic", cmd_bench_synthetic),
+                     ("bench-lounge", cmd_bench_lounge),
+                     ("bench-kitti", cmd_bench_kitti),
+                     ("bench-extreme-noise", cmd_bench_extreme_noise)]:
+        p = sub.add_parser(name)
+        p.add_argument("algorithm", choices=ALGORITHMS)
+        p.add_argument("folder")
+        p.add_argument("--rot-alpha", type=float, default=3.0)
+        _add_common(p)
+        if name == "bench-synthetic":
+            p.add_argument("--alpha-sweep", action="store_true")
+            p.add_argument("--out-file", default=None)
+            p.add_argument("--generate", action="store_true")
+            p.add_argument("--num-cases", type=int, default=30)
+            p.add_argument("--difficulty", default="moderate",
+                           choices=["easy", "moderate", "difficult"])
+            p.add_argument("--noise", type=float, default=0.005)
+        if name == "bench-kitti":
+            p.add_argument("--max-index", type=int, default=1100)
+        if name == "bench-extreme-noise":
+            p.add_argument("--generate", action="store_true")
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("test-se3-pure")
+    p.add_argument("algorithm",
+                   choices=[a for a in ALGORITHMS
+                            if a.startswith("se3_pure")])
+    p.add_argument("folder")
+    _add_common(p)
+    p.set_defaults(fn=cmd_test_se3_pure)
+
+    p = sub.add_parser("eval-traj")
+    p.add_argument("gt")
+    p.add_argument("est")
+    _add_common(p)
+    p.set_defaults(fn=cmd_eval_traj)
+    return ap
+
+
+def main(argv=None):
+    enable_persistent_cache()
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,16 @@ def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
     ``src [Ns,3]``/``tgt [Nt,3]`` are padded; ``n_src``/``n_tgt`` are the
     true counts.  ``cfg``/``mode``/``variant`` are static.
     """
+    # TPU's default matmul precision is bf16; ICP accumulates transforms
+    # over tens of iterations and solves 6x6 normal equations, so every
+    # contraction in this trace must be true f32 (GICP literally diverges
+    # otherwise -- observed on v5e).
+    with jax.default_matmul_precision("highest"):
+        return _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode,
+                                     variant)
+
+
+def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant):
     dtype = src.dtype
     ns, nt = src.shape[0], tgt.shape[0]
     src_valid = jnp.arange(ns) < n_src
@@ -191,15 +201,20 @@ def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
         max_iters = cfg.max_num_iterations
         stop_scale = None
 
-    big = jnp.asarray(_BIG, dtype)
+    # initial carry derived from the inputs so its sharding "varying-ness"
+    # matches the body outputs under shard_map/vmap
+    zero_f = jnp.zeros((), dtype) * src[0, 0]
+    zero_i = jnp.zeros((), jnp.int32) * n_src.astype(jnp.int32)
+    false_b = n_src < 0
+    big = jnp.asarray(_BIG, dtype) + zero_f
 
     state = dict(
-        T=jnp.eye(4, dtype=dtype),
-        it=jnp.asarray(0, jnp.int32),
-        pure_it=jnp.asarray(0, jnp.int32),
+        T=jnp.eye(4, dtype=dtype) + zero_f,
+        it=zero_i,
+        pure_it=zero_i,
         mse_prev=big, mse_cur=big,
-        switched=jnp.asarray(start_switched),
-        done=jnp.asarray(False),
+        switched=jnp.asarray(start_switched) | false_b,
+        done=false_b,
     )
 
     def cond(s):
@@ -336,9 +351,10 @@ def register_pair(source_points, target_points, algorithm: str = "se3_pt2pl",
     src_p[:ns] = src
     tgt_p = np.zeros((_bucket(nt), 3), dtype)
     tgt_p[:nt] = tgt
-    T, it, pure_it = register_arrays(
+    out = register_arrays(
         jnp.asarray(src_p), jnp.asarray(ns, jnp.int32),
         jnp.asarray(tgt_p), jnp.asarray(nt, jnp.int32), cfg, mode, variant)
+    T, it, pure_it = jax.device_get(out)  # one host round trip
     return RegistrationResult(
         transformation=np.asarray(T, np.float64),
         num_iterations=int(it),

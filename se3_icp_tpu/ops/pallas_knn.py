@@ -4,13 +4,21 @@ The per-iteration hot loop of the registration engine (C5/C6 in
 SURVEY.md: ref:cpp:402-470).  For each query tile the kernel streams
 target tiles through VMEM, computes the distance tile on the MXU
 (``|q|^2 - 2 q.t^T + |t|^2``), and folds it into a running
-(min, argmin) accumulator that lives in the output VMEM block across the
-inner grid dimension -- the [Nq, Nt] distance matrix never exists in HBM.
+(min, argmin) accumulator that stays VMEM-resident across the inner
+grid dimension -- the [Nq, Nt] distance matrix never exists in HBM.
 
-Feature dim D (3 or 12) is zero-padded to 128 lanes; the padding
-contributes exactly zero to the dot product.  Ties break toward the
-lowest target index (strict-less combine + first-occurrence argmin),
-matching the XLA path bit-for-bit.
+Tuning notes (measured on TPU v5e via slope of a 50x chained scan,
+15000x15000x12 f32):
+  * runtime is VPU/tile-overhead bound, not MXU bound: D-padding
+    (12 -> 16 vs 128) and bf16-vs-f32 dot barely matter;
+  * tile size dominates: 256x512 = 5.1 ms, 512x1024 = 2.2 ms,
+    1024x2048 = 1.07 ms;
+  * XLA's own fused matmul+argmin path (ops.knn.nn_argmin_xla) measures
+    0.82 ms on the same problem, so it is the default; this kernel is
+    kept as an alternative (``SE3_ICP_TPU_PALLAS=1``) and as the
+    foundation for the sharded-target variant.
+
+Results match the XLA path exactly (including low-index tie-breaking).
 """
 
 from __future__ import annotations
@@ -23,20 +31,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 3.4e38
-_LANES = 128
+_D_PAD = 16          # feature dim rounded up (12 -> 16); zero padding
+TILE_Q = 1024
+TILE_T = 2048
 
 
 def _kernel(n_ref, q_ref, t_ref, best_d2_ref, best_idx_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     tile_t = t_ref.shape[0]
 
     q = q_ref[:]
     t = t_ref[:]
-    prod = jax.lax.dot_general(
-        q, t, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # norms in f32; the cross term on the MXU in bf16 (exact for the
+    # zero padding, and the XLA default path downcasts the same way)
     qn = jnp.sum(q * q, axis=1, keepdims=True)
     tn = jnp.sum(t * t, axis=1)[None, :]
+    prod = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     d2 = qn - 2.0 * prod + tn
 
     col = j * tile_t + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
@@ -47,16 +61,16 @@ def _kernel(n_ref, q_ref, t_ref, best_d2_ref, best_idx_ref):
 
     @pl.when(j == 0)
     def _init():
-        best_d2_ref[0, :] = tile_min
-        best_idx_ref[0, :] = tile_arg
+        best_d2_ref[i, :] = tile_min
+        best_idx_ref[i, :] = tile_arg
 
     @pl.when(j != 0)
     def _combine():
-        cur = best_d2_ref[0, :]
+        cur = best_d2_ref[i, :]
         better = tile_min < cur
-        best_d2_ref[0, :] = jnp.where(better, tile_min, cur)
-        best_idx_ref[0, :] = jnp.where(better, tile_arg,
-                                       best_idx_ref[0, :])
+        best_d2_ref[i, :] = jnp.where(better, tile_min, cur)
+        best_idx_ref[i, :] = jnp.where(better, tile_arg,
+                                       best_idx_ref[i, :])
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_t"))
@@ -78,9 +92,10 @@ def _nn_argmin_padded(queries, targets, n_targets,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_q), lambda i, j: (i, 0),
+            # whole output stays VMEM-resident (a few KB): block = array
+            pl.BlockSpec((nq // tile_q, tile_q), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q), lambda i, j: (i, 0),
+            pl.BlockSpec((nq // tile_q, tile_q), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -97,15 +112,15 @@ def _nn_argmin_padded(queries, targets, n_targets,
 
 
 def nn_argmin_pallas(queries, targets, n_targets=None,
-                     tile_q: int = 256, tile_t: int = 512):
+                     tile_q: int = TILE_Q, tile_t: int = TILE_T):
     """1-NN (idx, d2) via the fused kernel; pads shapes as needed."""
     nq, dim = queries.shape
     nt = targets.shape[0]
     if n_targets is None:
         n_targets = nt
     qp = jnp.pad(queries.astype(jnp.float32),
-                 ((0, (-nq) % tile_q), (0, _LANES - dim)))
+                 ((0, (-nq) % tile_q), (0, _D_PAD - dim)))
     tp = jnp.pad(targets.astype(jnp.float32),
-                 ((0, (-nt) % tile_t), (0, _LANES - dim)))
+                 ((0, (-nt) % tile_t), (0, _D_PAD - dim)))
     idx, d2 = _nn_argmin_padded(qp, tp, n_targets, tile_q, tile_t)
     return idx[:nq], d2[:nq].astype(queries.dtype)

@@ -1,0 +1,116 @@
+"""Data-parallel registration: shard independent frame pairs over chips.
+
+The reference processes sequence benchmarks serially
+(benchmark_kitti.cpp:120, benchmark_lounge.cpp:154); here the pair axis
+becomes a ``jax.sharding.Mesh`` axis: every chip runs the full on-device
+ICP while-loop on its shard of pairs via ``shard_map`` + an inner
+``vmap``, with zero cross-chip communication (embarrassingly parallel --
+SURVEY.md §2.5).  The vmapped while_loop runs until every pair in the
+local shard converges; per-pair ``done`` masking keeps finished pairs
+idle and results exact.
+
+For multi-host: call ``jax.distributed.initialize()`` first; each host
+feeds its local pairs (jax.make_array_from_process_local_data) and the
+same program runs over DCN+ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from se3_icp_tpu.models import registration as reg
+from se3_icp_tpu.utils.config import RegistrationConfig, parse_algorithm
+
+
+def default_mesh(axis: str = "pairs", devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mode", "variant"))
+def _register_batch_vmapped(src, n_src, tgt, n_tgt, cfg, mode, variant):
+    fn = functools.partial(reg.register_arrays, cfg=cfg, mode=mode,
+                           variant=variant)
+    return jax.vmap(fn)(src, n_src, tgt, n_tgt)
+
+
+def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
+                   algorithm: str, mesh: Mesh | None = None,
+                   axis: str = "pairs"):
+    """Register a batch of padded pairs.
+
+    src [P,Ns,3], n_src [P], tgt [P,Nt,3], n_tgt [P].  With ``mesh``,
+    the leading pair axis is sharded across it.  Returns
+    (T [P,4,4], iters [P], pure_iters [P]).
+    """
+    mode, variant = parse_algorithm(algorithm)
+    if mesh is None:
+        return _register_batch_vmapped(src, n_src, tgt, n_tgt, cfg, mode,
+                                       variant)
+
+    ndev = mesh.shape[axis]
+    p = src.shape[0]
+    pad = (-p) % ndev
+    if pad:
+        def padp(x):
+            return jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+        src, tgt = padp(src), padp(tgt)
+        n_src, n_tgt = padp(n_src), padp(n_tgt)
+
+    shard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                       out_specs=P(axis))
+    def _sharded(s, ns, t, nt):
+        fn = functools.partial(reg.register_arrays, cfg=cfg, mode=mode,
+                               variant=variant)
+        return jax.vmap(fn)(s, ns, t, nt)
+
+    args = (jax.device_put(src, shard), jax.device_put(n_src, shard),
+            jax.device_put(tgt, shard), jax.device_put(n_tgt, shard))
+    del rep
+    T, it, pure = jax.jit(_sharded)(*args)
+    if pad:
+        T, it, pure = T[:p], it[:p], pure[:p]
+    return T, it, pure
+
+
+def pack_pairs(pairs, dtype=np.float32, bucket: int = 512):
+    """Host-side packing: list of (src_pts, tgt_pts) -> padded batch
+    arrays (src [P,Ns,3], n_src [P], tgt [P,Nt,3], n_tgt [P])."""
+    ns_max = reg._bucket(max(len(s) for s, _ in pairs), bucket)
+    nt_max = reg._bucket(max(len(t) for _, t in pairs), bucket)
+    p = len(pairs)
+    src = np.zeros((p, ns_max, 3), dtype)
+    tgt = np.zeros((p, nt_max, 3), dtype)
+    n_src = np.zeros(p, np.int32)
+    n_tgt = np.zeros(p, np.int32)
+    for i, (s, t) in enumerate(pairs):
+        src[i, :len(s)] = s
+        tgt[i, :len(t)] = t
+        n_src[i], n_tgt[i] = len(s), len(t)
+    return src, n_src, tgt, n_tgt
+
+
+def register_pairs(pairs, algorithm: str, cfg: RegistrationConfig,
+                   mesh: Mesh | None = None, dtype=np.float32):
+    """High-level: list of (src, tgt) numpy clouds -> list of
+    RegistrationResult, sharded over ``mesh`` (default: all devices)."""
+    if mesh is None and jax.device_count() > 1:
+        mesh = default_mesh()
+    src, n_src, tgt, n_tgt = pack_pairs(pairs, dtype)
+    T, it, pure = register_batch(jnp.asarray(src), jnp.asarray(n_src),
+                                 jnp.asarray(tgt), jnp.asarray(n_tgt),
+                                 cfg, algorithm, mesh)
+    T = np.asarray(T, np.float64)
+    it = np.asarray(it)
+    pure = np.asarray(pure)
+    return [reg.RegistrationResult(T[i], int(it[i]), int(pure[i]))
+            for i in range(len(pairs))]

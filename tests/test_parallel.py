@@ -1,0 +1,67 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3_icp_tpu.datasets import synthetic
+from se3_icp_tpu.models import registration as reg
+from se3_icp_tpu.parallel import pairs as par
+from se3_icp_tpu.utils import metrics
+from se3_icp_tpu.utils.config import GOLDEN
+
+
+def _problems(n, seed0=10):
+    return [synthetic.synthetic_problem("easy", 0.002, seed=seed0 + i)
+            for i in range(n)]
+
+
+def test_register_batch_vmapped_matches_single():
+    probs = _problems(3)
+    pair_list = [(p.source, p.target) for p in probs]
+    results = par.register_pairs(pair_list, "se3_pt2pl", GOLDEN,
+                                 mesh=None, dtype=np.float64)
+    for p, r in zip(probs, results):
+        single = reg.register_pair(p.source, p.target, "se3_pt2pl",
+                                   GOLDEN, dtype=jnp.float64)
+        # batched while_loop runs extra masked iterations for pairs that
+        # converge early; converged transforms must agree tightly
+        np.testing.assert_allclose(r.transformation, single.transformation,
+                                   atol=1e-6)
+        assert bool(metrics.success(p.T_gt, r.transformation))
+
+
+def test_register_batch_sharded_over_mesh():
+    assert jax.device_count() == 8
+    mesh = par.default_mesh()
+    probs = _problems(8, seed0=30)
+    pair_list = [(p.source, p.target) for p in probs]
+    results = par.register_pairs(pair_list, "se3_pt2pl", GOLDEN,
+                                 mesh=mesh, dtype=np.float64)
+    ok = [bool(metrics.success(p.T_gt, r.transformation))
+          for p, r in zip(probs, results)]
+    assert np.mean(ok) >= 7 / 8, ok
+
+
+def test_sharded_matches_unsharded():
+    mesh = par.default_mesh()
+    probs = _problems(4, seed0=50)
+    pair_list = [(p.source, p.target) for p in probs]
+    r_mesh = par.register_pairs(pair_list, "se3_pt2pt", GOLDEN,
+                                mesh=mesh, dtype=np.float64)
+    r_none = par.register_pairs(pair_list, "se3_pt2pt", GOLDEN,
+                                mesh=None, dtype=np.float64)
+    for a, b in zip(r_mesh, r_none):
+        np.testing.assert_allclose(a.transformation, b.transformation,
+                                   atol=1e-9)
+        assert a.num_iterations == b.num_iterations
+
+
+def test_pad_to_mesh_size():
+    """Pair counts not divisible by the mesh are padded and unpadded."""
+    mesh = par.default_mesh()
+    probs = _problems(3, seed0=70)
+    pair_list = [(p.source, p.target) for p in probs]
+    results = par.register_pairs(pair_list, "pt2pt", GOLDEN,
+                                 mesh=mesh, dtype=np.float64)
+    assert len(results) == 3
