@@ -98,14 +98,22 @@ def _embed12(rot, trans):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "mode", "variant", "dp_axis"))
+    jax.jit, static_argnames=("cfg", "mode", "variant", "points_axis"))
 def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
-                    mode: str, variant: str, dp_axis: str | None = None):
+                    mode: str, variant: str,
+                    points_axis: str | None = None):
     """Register one padded pair.  Returns (T [4,4] in original coords,
     num_iterations, num_pure_se3_iterations).
 
     ``src [Ns,3]``/``tgt [Nt,3]`` are padded; ``n_src``/``n_tgt`` are the
     true counts.  ``cfg``/``mode``/``variant`` are static.
+
+    ``points_axis``: name of a mesh axis this call is running under (via
+    ``shard_map``) over which to model-parallelize ONE registration:
+    clouds stay replicated, but the expensive row-wise work (setup kNN,
+    frames/normals/covariances, the per-iteration NN search) is computed
+    on this device's row slice and combined with ``all_gather``/partial
+    argmin -- see parallel/points.py.
     """
     # TPU's default matmul precision is bf16; ICP accumulates transforms
     # over tens of iterations and solves 6x6 normal equations, so every
@@ -113,10 +121,23 @@ def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
     # otherwise -- observed on v5e).
     with jax.default_matmul_precision("highest"):
         return _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode,
-                                     variant)
+                                     variant, points_axis)
 
 
-def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant):
+def _my_rows(x, axis_name):
+    """This device's contiguous row slice of a replicated array."""
+    ndev = jax.lax.psum(1, axis_name)
+    rank = jax.lax.axis_index(axis_name)
+    chunk = x.shape[0] // ndev
+    return jax.lax.dynamic_slice_in_dim(x, rank * chunk, chunk, 0)
+
+
+def _gather_rows(x_local, axis_name):
+    return jax.lax.all_gather(x_local, axis_name, tiled=True)
+
+
+def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
+                          points_axis=None):
     dtype = src.dtype
     ns, nt = src.shape[0], tgt.shape[0]
     src_valid = jnp.arange(ns) < n_src
@@ -153,12 +174,48 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant):
     src_c = jnp.where(src_valid[:, None], src_c, 0.0)
     tgt_c = jnp.where(tgt_valid[:, None], tgt_c, 0.0)
 
+    # --- one sorted kNN per cloud, prefix-sliced by every consumer
+    #     (TOLDI k, normals kNN-30, GICP kNN-20): the full-width top-k
+    #     sort dominates setup cost on TPU, so never run it twice
+    need_tgt_nrm = eff_variant == "pt2pl"
+    need_cov = eff_variant == "gicp"
+    k_src = (max(cfg.number_of_nn_for_lrf, cfg.gicp_normals_knn)
+             if (is_se3 and need_cov) else
+             cfg.number_of_nn_for_lrf if is_se3 else
+             cfg.gicp_normals_knn if need_cov else 0)
+    k_tgt = max(cfg.number_of_nn_for_lrf if is_se3 else 0,
+                cfg.normals_knn if need_tgt_nrm else 0,
+                cfg.gicp_normals_knn if need_cov else 0)
+    if points_axis is None:
+        idx_src = knn.knn_self(src_c, k_src, n_src)[0] if k_src else None
+        idx_tgt = knn.knn_self(tgt_c, k_tgt, n_tgt)[0] if k_tgt else None
+    else:
+        # model-parallel setup: each device runs the kNN for its row
+        # slice of queries against the full (replicated) cloud; results
+        # below are all_gathered back to full per-point arrays (small)
+        idx_src = (knn.knn_topk(_my_rows(src_c, points_axis), src_c,
+                                k_src, n_src)[0] if k_src else None)
+        idx_tgt = (knn.knn_topk(_my_rows(tgt_c, points_axis), tgt_c,
+                                k_tgt, n_tgt)[0] if k_tgt else None)
+
     # --- SE(3) frames + alpha/beta weighting (ref:cpp:586-626)
     if is_se3:
         alpha = jnp.asarray(cfg.alpha_rot, dtype)
         beta = jnp.asarray(cfg.beta_transl, dtype)
-        rot_s0, _ = lrf.toldi_frames(src_c, cfg.number_of_nn_for_lrf, n_src)
-        rot_t0, _ = lrf.toldi_frames(tgt_c, cfg.number_of_nn_for_lrf, n_tgt)
+        if cfg.lrf_method == "toldi":
+            klrf = cfg.number_of_nn_for_lrf
+            rot_s0, _ = lrf.toldi_frames_from_neighbors(
+                src_c, idx_src[:, :klrf])
+            rot_t0, _ = lrf.toldi_frames_from_neighbors(
+                tgt_c, idx_tgt[:, :klrf])
+            if points_axis is not None:
+                rot_s0 = _gather_rows(rot_s0, points_axis)
+                rot_t0 = _gather_rows(rot_t0, points_axis)
+        else:  # SHOT LRF (dormant alternative in the reference, C4)
+            rot_s0, _ = lrf.shot_frames(src_c, cfg.lrf_radius,
+                                        n_valid=n_src)
+            rot_t0, _ = lrf.shot_frames(tgt_c, cfg.lrf_radius,
+                                        n_valid=n_tgt)
         frot_s0 = rot_s0 * alpha                     # [Ns,3,3]
         ftra_s0 = src_c * beta                       # [Ns,3]
         # target 12-D embedding, built once: rotation block alpha-weighted;
@@ -177,15 +234,21 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant):
     # 3-D euclidean NN through the same kernel
     tgt_embed_B = _embed12(jnp.zeros((nt, 3, 3), dtype), tgt_c)
 
-    # --- variant-specific preparation
+    # --- variant-specific preparation (prefix slices of the shared kNN)
     tgt_normals = cov_src0 = cov_tgt = None
     if eff_variant == "pt2pl":
-        tgt_normals = lrf.estimate_normals(tgt_c, cfg.normals_knn, n_tgt)
+        tgt_normals = lrf.normals_from_neighbors(
+            tgt_c, idx_tgt[:, :cfg.normals_knn])
+        if points_axis is not None:
+            tgt_normals = _gather_rows(tgt_normals, points_axis)
     elif eff_variant == "gicp":
-        cov_src0 = lrf.gicp_covariances(src_c, cfg.gicp_normals_knn,
-                                        cfg.gicp_epsilon, n_src)
-        cov_tgt = lrf.gicp_covariances(tgt_c, cfg.gicp_normals_knn,
-                                       cfg.gicp_epsilon, n_tgt)
+        cov_src0 = lrf.gicp_covariances_from_neighbors(
+            src_c, idx_src[:, :cfg.gicp_normals_knn], cfg.gicp_epsilon)
+        cov_tgt = lrf.gicp_covariances_from_neighbors(
+            tgt_c, idx_tgt[:, :cfg.gicp_normals_knn], cfg.gicp_epsilon)
+        if points_axis is not None:
+            cov_src0 = _gather_rows(cov_src0, points_axis)
+            cov_tgt = _gather_rows(cov_tgt, points_axis)
 
     # --- loop limits per mode
     if mode == "icp":

@@ -60,11 +60,13 @@ def toldi_frames_from_neighbors(points, idx, exact_centroid: bool = False):
     """TOLDI given precomputed ascending-by-distance neighbor indices.
 
     ``idx[:, 0]`` is the query point itself (FLANN convention,
-    ref:cpp:253-256)."""
+    ref:cpp:253-256).  ``idx`` may cover a row SLICE of ``points``
+    (model-parallel setup): the query is recovered from rank 0.
+    """
     dtype = points.dtype
     n, k = idx.shape
     nb = _gather_neighbors(points, idx)                  # [N,k,3]
-    p = points[:, None, :]                               # [N,1,3]
+    p = nb[:, 0:1, :]                                    # query = rank-0 self
 
     # radius = distance to the farthest of the k neighbors (ref:cpp:256)
     radius = jnp.linalg.norm(nb[:, -1, :] - p[:, 0, :], axis=-1)
@@ -109,7 +111,7 @@ def toldi_frames_from_neighbors(points, idx, exact_centroid: bool = False):
 
     y = jnp.cross(z, x)
     rot = jnp.stack([x, y, z], axis=-1)                  # columns x,y,z
-    return rot, points
+    return rot, nb[:, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("max_k",))
@@ -166,6 +168,17 @@ def estimate_normals(points, k: int = 30, n_valid=None):
     """PCA normals via kNN neighborhoods (Open3D ``EstimateNormals``
     analog, default KNN(30)).  Unoriented, like the reference's usage."""
     idx, _ = knn.knn_self(points, k, n_valid)
+    return normals_from_neighbors(points, idx)
+
+
+@jax.jit
+def normals_from_neighbors(points, idx):
+    """PCA normal from precomputed neighbor indices [N,k].
+
+    The engine computes one sorted kNN per cloud (k = max needed) and
+    slices prefixes: the first k' of an ascending kNN ARE the exact
+    k'-NN, so normals/covariances reuse the TOLDI neighborhood search
+    (the full-width top-k sort dominates setup cost on TPU)."""
     nb = _gather_neighbors(points, idx)                  # [N,k,3]
     mean = jnp.mean(nb, axis=1, keepdims=True)
     diff = nb - mean
@@ -195,7 +208,13 @@ def gicp_covariances(points, k: int = 20, epsilon: float = 1e-3,
                      n_valid=None):
     """Per-point GICP covariances Sigma = Rx diag(eps,1,1) Rx^T from
     kNN-20 normals (C14, ref:cpp:33-52)."""
-    normals = estimate_normals(points, k, n_valid)
+    idx, _ = knn.knn_self(points, k, n_valid)
+    return gicp_covariances_from_neighbors(points, idx, epsilon)
+
+
+@functools.partial(jax.jit, static_argnames=("epsilon",))
+def gicp_covariances_from_neighbors(points, idx, epsilon: float = 1e-3):
+    normals = normals_from_neighbors(points, idx)
     Rx = rotation_from_e1_to_x(normals)
     C = jnp.diag(jnp.asarray([epsilon, 1.0, 1.0], points.dtype))
     return Rx @ C @ Rx.mT

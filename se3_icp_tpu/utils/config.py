@@ -53,6 +53,9 @@ class RegistrationConfig:
     # LRF
     number_of_nn_for_lrf: int = 30       # TOLDI kNN (benchmarks use 90)
     lrf_radius: float = 0.8              # SHOT LRF only (dormant in ref)
+    lrf_method: str = "toldi"            # "toldi" | "shot" (ref has SHOT
+    #                                      implemented but commented out,
+    #                                      ref:cpp:593-594)
     # correspondence rejection
     estimated_overlap: float = 1.0
     # SE(3) metric weights + preprocessing scale

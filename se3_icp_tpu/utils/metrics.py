@@ -142,6 +142,30 @@ def evaluate_lrf_quality(source_frames, target_frames, T_gt, corr_pairs):
     return jnp.mean(angular_error_so3_alt(src_R, tgt_R))
 
 
+def compute_corrs_with_gt(src, tgt, T_gt, tgt_valid=None):
+    """GT-transform the source, 1-NN into the target -> "true"
+    correspondence pairs [N,2] (cc::compute_corrs_with_gt,
+    ref:cc:116-143)."""
+    from se3_icp_tpu.ops import knn
+    src_t = se3.transform_points(jnp.asarray(T_gt), jnp.asarray(src))
+    n_tgt = None
+    if tgt_valid is not None:
+        n_tgt = jnp.sum(jnp.asarray(tgt_valid).astype(jnp.int32))
+    idx, _ = knn.nn_argmin(src_t, jnp.asarray(tgt), n_tgt)
+    return jnp.stack([jnp.arange(src_t.shape[0], dtype=jnp.int32), idx], 1)
+
+
+def compute_nearest_neighbor_correspondences(src, tgt, tgt_valid=None):
+    """Plain 1-NN correspondence pairs (cc::
+    compute_nearest_neighbor_correspondences, ref:cc:220-237)."""
+    from se3_icp_tpu.ops import knn
+    n_tgt = None
+    if tgt_valid is not None:
+        n_tgt = jnp.sum(jnp.asarray(tgt_valid).astype(jnp.int32))
+    idx, _ = knn.nn_argmin(jnp.asarray(src), jnp.asarray(tgt), n_tgt)
+    return jnp.stack([jnp.arange(len(src), dtype=jnp.int32), idx], 1)
+
+
 def evaluate_trajectory_quality(gt_traj, est_traj):
     """Avg rot/trans error + success rate over paired 4x4s (ref:cc:178-217)."""
     gt = np.asarray(gt_traj)
