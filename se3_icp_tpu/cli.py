@@ -3,6 +3,7 @@
 
   run                 <- run_registration_method
   example             <- registration_example
+  example-fgr         <- registration_example_fgr
   create-problem      <- create_and_save_reg_problem
   bench-synthetic     <- benchmark_synthetic
   bench-lounge        <- benchmark_lounge
@@ -46,8 +47,12 @@ def cmd_run(args):
     print(f"source point cloud size = {len(src)}")
     print(f"target point cloud size = {len(tgt)}")
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
-    res = reg.register_pair(src.points, tgt.points, args.algorithm,
-                            GOLDEN, dtype=dtype)
+    if args.algorithm == "fgr":
+        from se3_icp_tpu.models import fgr
+        res = fgr.fgr_register(src.points, tgt.points, dtype=dtype)
+    else:
+        res = reg.register_pair(src.points, tgt.points, args.algorithm,
+                                GOLDEN, dtype=dtype)
     print("Estimated transformation = ")
     np.savetxt(sys.stdout, res.transformation, fmt="%10.6f")
     if args.json:
@@ -73,6 +78,31 @@ def cmd_example(args):
         bunny @ T_gt[:3, :3].T + T_gt[:3, 3], 0.02, rng)
     res = reg.register_pair(src, tgt, "se3_pt2pl", GOLDEN,
                             dtype=jnp.float32)
+    print("Estimated transformation = ")
+    np.savetxt(sys.stdout, res.transformation, fmt="%10.6f")
+    print("Ground truth transformation = ")
+    np.savetxt(sys.stdout, T_gt, fmt="%10.6f")
+    print(f"SO3 error = "
+          f"{metrics_host.angular_error_so3(res.transformation[:3, :3], T_gt[:3, :3]):.4f} deg")
+
+
+def cmd_example_fgr(args):
+    """registration_example_fgr (FGR baseline on the bunny demo problem;
+    visualization omitted -- headless)."""
+    from se3_icp_tpu.datasets import synthetic
+    from se3_icp_tpu.models import fgr
+    from se3_icp_tpu.utils import metrics_host
+    from scipy.spatial.transform import Rotation
+    rng = np.random.default_rng(1)
+    bunny = synthetic.load_bunny(scale=1.0)
+    src = synthetic.random_downsample(bunny, 0.02, rng)
+    T_gt = np.eye(4)
+    T_gt[:3, :3] = Rotation.from_euler(
+        "xyz", [np.pi / 5, np.pi / 4, np.pi / 6]).as_matrix()
+    T_gt[:3, 3] = (2.5, 3.5, 1.2)
+    tgt = synthetic.random_downsample(
+        bunny @ T_gt[:3, :3].T + T_gt[:3, 3], 0.02, rng)
+    res = fgr.fgr_register(src, tgt)
     print("Estimated transformation = ")
     np.savetxt(sys.stdout, res.transformation, fmt="%10.6f")
     print("Ground truth transformation = ")
@@ -184,7 +214,8 @@ def build_parser():
 
     p = sub.add_parser("run", help="register two PLY files")
     p.add_argument("algorithm", choices=[a for a in ALGORITHMS
-                                         if not a.startswith("se3_pure")])
+                                         if not a.startswith("se3_pure")]
+                   + ["fgr"])
     p.add_argument("source")
     p.add_argument("target")
     _add_common(p)
@@ -193,6 +224,11 @@ def build_parser():
     p = sub.add_parser("example", help="self-contained bunny demo")
     _add_common(p)
     p.set_defaults(fn=cmd_example)
+
+    p = sub.add_parser("example-fgr",
+                       help="FGR baseline on the bunny demo problem")
+    _add_common(p)
+    p.set_defaults(fn=cmd_example_fgr)
 
     p = sub.add_parser("create-problem")
     p.add_argument("--out", default="created_example_reg_problem")
@@ -204,7 +240,7 @@ def build_parser():
                      ("bench-kitti", cmd_bench_kitti),
                      ("bench-extreme-noise", cmd_bench_extreme_noise)]:
         p = sub.add_parser(name)
-        p.add_argument("algorithm", choices=ALGORITHMS)
+        p.add_argument("algorithm", choices=ALGORITHMS + ("fgr",))
         p.add_argument("folder")
         p.add_argument("--rot-alpha", type=float, default=3.0)
         _add_common(p)

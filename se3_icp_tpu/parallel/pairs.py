@@ -39,6 +39,18 @@ def _register_batch_vmapped(src, n_src, tgt, n_tgt, cfg, mode, variant):
     return jax.vmap(fn)(src, n_src, tgt, n_tgt)
 
 
+def _pair_fn(cfg, algorithm: str):
+    """(src, n_src, tgt, n_tgt) -> (T, iters, pure_iters) for one pair;
+    dispatches between the ICP engine and the FGR baseline."""
+    if algorithm == "fgr":
+        from se3_icp_tpu.models import fgr
+        fcfg = cfg if isinstance(cfg, fgr.FGRConfig) else fgr.FGRConfig()
+        return functools.partial(fgr.fgr_register_arrays, cfg=fcfg)
+    mode, variant = parse_algorithm(algorithm)
+    return functools.partial(reg.register_arrays, cfg=cfg, mode=mode,
+                             variant=variant)
+
+
 def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
                    algorithm: str, mesh: Mesh | None = None,
                    axis: str = "pairs"):
@@ -48,11 +60,22 @@ def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
     the leading pair axis is sharded across it.  Returns
     (T [P,4,4], iters [P], pure_iters [P]).
     """
+    if algorithm == "fgr":
+        fn = _pair_fn(cfg, algorithm)
+        if mesh is None:
+            return jax.jit(jax.vmap(fn))(src, n_src, tgt, n_tgt)
+        return _shard_over_pairs(fn, src, n_src, tgt, n_tgt, mesh, axis)
     mode, variant = parse_algorithm(algorithm)
     if mesh is None:
         return _register_batch_vmapped(src, n_src, tgt, n_tgt, cfg, mode,
                                        variant)
+    fn = functools.partial(reg.register_arrays, cfg=cfg, mode=mode,
+                           variant=variant)
+    return _shard_over_pairs(fn, src, n_src, tgt, n_tgt, mesh, axis)
 
+
+def _shard_over_pairs(fn, src, n_src, tgt, n_tgt, mesh: Mesh, axis: str):
+    """Shard the leading pair axis of a vmapped per-pair function."""
     ndev = mesh.shape[axis]
     p = src.shape[0]
     pad = (-p) % ndev
@@ -63,19 +86,15 @@ def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
         n_src, n_tgt = padp(n_src), padp(n_tgt)
 
     shard = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
 
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(P(axis), P(axis), P(axis), P(axis)),
                        out_specs=P(axis))
     def _sharded(s, ns, t, nt):
-        fn = functools.partial(reg.register_arrays, cfg=cfg, mode=mode,
-                               variant=variant)
         return jax.vmap(fn)(s, ns, t, nt)
 
     args = (jax.device_put(src, shard), jax.device_put(n_src, shard),
             jax.device_put(tgt, shard), jax.device_put(n_tgt, shard))
-    del rep
     T, it, pure = jax.jit(_sharded)(*args)
     if pad:
         T, it, pure = T[:p], it[:p], pure[:p]
