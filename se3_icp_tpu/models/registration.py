@@ -306,7 +306,14 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
         else:
             q = _embed12(jnp.zeros((ns, 3, 3), dtype), src_moving)
             e = tgt_embed_B
-        midx, _ = knn.nn_argmin(q, e, n_tgt)
+        if points_axis is None:
+            midx, _ = knn.nn_argmin(q, e, n_tgt)
+        else:
+            # model-parallel hot loop: each device searches its query-row
+            # slice against the (replicated) target embedding; the int32
+            # match vector is all_gathered over ICI (cheap: 4 B/point)
+            midx_l, _ = knn.nn_argmin(_my_rows(q, points_axis), e, n_tgt)
+            midx = _gather_rows(midx_l, points_axis)
         tgt_m = tgt_c[midx]
 
         # --- stored distance (trim + mse source): R3 metric in both

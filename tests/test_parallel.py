@@ -65,3 +65,52 @@ def test_pad_to_mesh_size():
     results = par.register_pairs(pair_list, "pt2pt", GOLDEN,
                                  mesh=mesh, dtype=np.float64)
     assert len(results) == 3
+
+
+def test_points_sharded_matches_unsharded():
+    """Model-parallel (points-axis) registration == single-device result
+    (setup kNN, LRF gathers, and the sharded per-iteration NN combine
+    must be bit-compatible with the replicated path)."""
+    from se3_icp_tpu.parallel import points as mp
+    mesh = mp.points_mesh()
+    p = _problems(1, seed0=90)[0]
+    r_mp = mp.register_pair_model_parallel(
+        p.source, p.target, "se3_pt2pl", GOLDEN, mesh=mesh,
+        dtype=jnp.float64)
+    r_1 = reg.register_pair(p.source, p.target, "se3_pt2pl", GOLDEN,
+                            dtype=jnp.float64)
+    np.testing.assert_allclose(r_mp.transformation, r_1.transformation,
+                               atol=1e-8)
+    assert r_mp.num_iterations == r_1.num_iterations
+    assert bool(metrics.success(p.T_gt, r_mp.transformation))
+
+
+def test_points_sharded_gicp():
+    """Covariance/normal gathers also hold for the gicp variant."""
+    from se3_icp_tpu.parallel import points as mp
+    mesh = mp.points_mesh()
+    p = _problems(1, seed0=91)[0]
+    r_mp = mp.register_pair_model_parallel(
+        p.source, p.target, "se3_gicp", GOLDEN, mesh=mesh,
+        dtype=jnp.float64)
+    r_1 = reg.register_pair(p.source, p.target, "se3_gicp", GOLDEN,
+                            dtype=jnp.float64)
+    np.testing.assert_allclose(r_mp.transformation, r_1.transformation,
+                               atol=1e-8)
+
+
+def test_batch_2d_mesh():
+    """2-D ('pairs','points') mesh: 4-way DP x 2-way model parallel."""
+    from jax.sharding import Mesh
+    from se3_icp_tpu.parallel import points as mp
+    devs = np.asarray(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devs, ("pairs", "points"))
+    probs = _problems(4, seed0=92)
+    pair_list = [(p.source, p.target) for p in probs]
+    src, n_src, tgt, n_tgt = par.pack_pairs(pair_list, np.float64)
+    T, it, pure = mp.register_batch_2d(
+        jnp.asarray(src), jnp.asarray(n_src), jnp.asarray(tgt),
+        jnp.asarray(n_tgt), GOLDEN, "se3_pt2pl", mesh)
+    T = np.asarray(T)
+    for p, Ti in zip(probs, T):
+        assert bool(metrics.success(p.T_gt, Ti))
