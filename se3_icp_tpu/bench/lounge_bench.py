@@ -23,11 +23,18 @@ def _cloud_name(folder: str, i: int) -> str:
 
 
 def load_lounge_pairs(folder: str, start=1, stop=395, step=5):
-    """Returns (pairs [(src,tgt)], gts [T12])."""
+    """Returns (pairs [(src,tgt)], gts [T12]).  Stops early when frame
+    files run out, so reduced/synthetic fixtures load with the same
+    protocol (the reference hard-codes 79 pairs for the full dataset,
+    benchmark_lounge.cpp:154-160)."""
     traj_path = os.path.join(folder, "lounge_data", "lounge_trajectory.log")
     _, mats = ply.read_redwood_log(traj_path)
     pairs, gts = [], []
     for i in range(start, stop, step):
+        if (not os.path.exists(_cloud_name(folder, i))
+                or not os.path.exists(_cloud_name(folder, i + 5))
+                or i - 1 + 5 >= len(mats)):
+            break
         src = ply.read_ply(_cloud_name(folder, i)).points
         tgt = ply.read_ply(_cloud_name(folder, i + 5)).points
         T1 = mats[i - 1]

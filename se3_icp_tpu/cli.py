@@ -147,6 +147,11 @@ def cmd_bench_synthetic(args):
 
 def cmd_bench_lounge(args):
     from se3_icp_tpu.bench import lounge_bench
+    if args.generate:
+        from se3_icp_tpu.datasets import fixtures
+        fixtures.make_lounge_fixture(args.folder)
+        print(f"synthetic lounge-layout fixture written to {args.folder}")
+        return
     rep = lounge_bench.benchmark_lounge(
         args.algorithm, args.folder, rot_alpha=args.rot_alpha,
         checkpoint=args.checkpoint, dtype=np.dtype(args.dtype))
@@ -156,6 +161,12 @@ def cmd_bench_lounge(args):
 
 def cmd_bench_kitti(args):
     from se3_icp_tpu.bench import kitti_bench
+    if args.generate:
+        from se3_icp_tpu.datasets import fixtures
+        fixtures.make_kitti_fixture(args.folder,
+                                    max_index=args.max_index)
+        print(f"synthetic KITTI-layout fixture written to {args.folder}")
+        return
     rep = kitti_bench.benchmark_kitti(
         args.algorithm, args.folder, rot_alpha=args.rot_alpha,
         checkpoint=args.checkpoint, dtype=np.dtype(args.dtype),
@@ -247,15 +258,15 @@ def build_parser():
         if name == "bench-synthetic":
             p.add_argument("--alpha-sweep", action="store_true")
             p.add_argument("--out-file", default=None)
-            p.add_argument("--generate", action="store_true")
             p.add_argument("--num-cases", type=int, default=30)
             p.add_argument("--difficulty", default="moderate",
                            choices=["easy", "moderate", "difficult"])
             p.add_argument("--noise", type=float, default=0.005)
         if name == "bench-kitti":
             p.add_argument("--max-index", type=int, default=1100)
-        if name == "bench-extreme-noise":
-            p.add_argument("--generate", action="store_true")
+        # every benchmark can generate its own (synthetic stand-in)
+        # dataset in the reference's on-disk layout
+        p.add_argument("--generate", action="store_true")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("test-se3-pure")

@@ -63,6 +63,10 @@ class RegistrationResult:
     transformation: np.ndarray          # [4,4]
     num_iterations: int
     num_pure_se3_iterations: int
+    # per-iteration accumulated transforms (estimated_history_,
+    # ref:hpp:97 / cpp:538); filled when register_pair(...,
+    # record_history=True)
+    history: np.ndarray | None = None   # [num_iterations,4,4]
 
 
 def lounge_point_confidence(points):
@@ -98,12 +102,20 @@ def _embed12(rot, trans):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "mode", "variant", "points_axis"))
+    jax.jit,
+    static_argnames=("cfg", "mode", "variant", "points_axis",
+                     "record_history"))
 def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
                     mode: str, variant: str,
-                    points_axis: str | None = None):
+                    points_axis: str | None = None,
+                    record_history: bool = False):
     """Register one padded pair.  Returns (T [4,4] in original coords,
-    num_iterations, num_pure_se3_iterations).
+    num_iterations, num_pure_se3_iterations), plus the per-iteration
+    accumulated-transform history [max_iters, 4, 4] when
+    ``record_history`` (the reference's ``estimated_history_``, kept
+    only by ``run_icp``, ref:cpp:491,538 -- here available for every
+    mode, in ORIGINAL coordinates; entries at index >= num_iterations
+    are undefined -- slice by num_iterations on the host).
 
     ``src [Ns,3]``/``tgt [Nt,3]`` are padded; ``n_src``/``n_tgt`` are the
     true counts.  ``cfg``/``mode``/``variant`` are static.
@@ -121,7 +133,7 @@ def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
     # otherwise -- observed on v5e).
     with jax.default_matmul_precision("highest"):
         return _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode,
-                                     variant, points_axis)
+                                     variant, points_axis, record_history)
 
 
 def _my_rows(x, axis_name):
@@ -137,7 +149,7 @@ def _gather_rows(x_local, axis_name):
 
 
 def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
-                          points_axis=None):
+                          points_axis=None, record_history=False):
     dtype = src.dtype
     ns, nt = src.shape[0], tgt.shape[0]
     src_valid = jnp.arange(ns) < n_src
@@ -279,6 +291,9 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
         switched=jnp.asarray(start_switched) | false_b,
         done=false_b,
     )
+    hist_len = max(cfg.max_num_iterations, cfg.max_num_se3_iterations)
+    if record_history:
+        state["hist"] = jnp.zeros((hist_len, 4, 4), dtype) + zero_f
 
     def cond(s):
         return ~s["done"]
@@ -361,16 +376,16 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
             else scaling)
         if mode == "se3_pure":
             new_switched = switched
-            new_done = ((it == max_iters) | (mse_rel < stop_thresh))
+            new_done = ((it >= max_iters) | (mse_rel < stop_thresh))
         elif mode == "icp":
             new_switched = switched
-            new_done = (it == max_iters) | (mse_rel < stop_thresh)
+            new_done = (it >= max_iters) | (mse_rel < stop_thresh)
         else:
-            hit_switch = ((it == cfg.max_num_se3_iterations)
+            hit_switch = ((it >= cfg.max_num_se3_iterations)
                           | (t_change < jnp.asarray(cfg.mse_switch_error,
                                                     dtype)))
             new_switched = switched | hit_switch
-            new_done = switched & ((it == max_iters)
+            new_done = switched & ((it >= max_iters)
                                    | (mse_rel < stop_thresh))
 
         done_before = s["done"]
@@ -379,7 +394,7 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
             return jax.tree.map(
                 lambda o, n: jnp.where(done_before, o, n), old, new)
 
-        return dict(
+        out = dict(
             T=keep(s["T"], T_new),
             it=keep(s["it"], it),
             pure_it=keep(s["pure_it"],
@@ -389,16 +404,33 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
             switched=keep(s["switched"], new_switched),
             done=done_before | new_done,
         )
+        if record_history:
+            # per-iteration accumulated transform (estimated_history_,
+            # ref:cpp:538); masked writes keep finished pairs' tails
+            zero32 = jnp.zeros((), jnp.int32)
+            out["hist"] = jax.lax.dynamic_update_slice(
+                s["hist"], out["T"][None],
+                (jnp.minimum(it - 1, hist_len - 1).astype(jnp.int32),
+                 zero32, zero32))
+        return out
 
     state = jax.lax.while_loop(cond, body, state)
 
     # --- back to original coordinates (ref:cpp:734-738)
-    T = state["T"]
-    if is_se3:
-        Rp = T[:3, :3]
-        tp = T[:3, 3]
-        t_orig = tp / scaling - Rp @ cen_s + cen_t
-        T = se3.rt_to_T(Rp, t_orig)
+    def to_original(T):
+        if not is_se3:
+            return T
+        Rp = T[..., :3, :3]
+        tp = T[..., :3, 3]
+        t_orig = (tp / scaling
+                  - jnp.einsum("...ij,j->...i", Rp, cen_s) + cen_t)
+        out = jnp.zeros_like(T).at[..., :3, :3].set(Rp)
+        out = out.at[..., :3, 3].set(t_orig)
+        return out.at[..., 3, 3].set(1.0)
+
+    T = to_original(state["T"])
+    if record_history:
+        return T, state["it"], state["pure_it"], to_original(state["hist"])
     return T, state["it"], state["pure_it"]
 
 
@@ -409,7 +441,8 @@ def _bucket(n: int, quantum: int = 512) -> int:
 
 def register_pair(source_points, target_points, algorithm: str = "se3_pt2pl",
                   cfg: RegistrationConfig | None = None,
-                  dtype=jnp.float32) -> RegistrationResult:
+                  dtype=jnp.float32,
+                  record_history: bool = False) -> RegistrationResult:
     """Host-facing entry point over the reference's algorithm-name surface
     (pt2pt/pt2pl/gicp, se3_*, se3_gicp_with_cf, se3_pure_*)."""
     mode, variant = parse_algorithm(algorithm)
@@ -423,9 +456,15 @@ def register_pair(source_points, target_points, algorithm: str = "se3_pt2pl",
     tgt_p[:nt] = tgt
     out = register_arrays(
         jnp.asarray(src_p), jnp.asarray(ns, jnp.int32),
-        jnp.asarray(tgt_p), jnp.asarray(nt, jnp.int32), cfg, mode, variant)
-    T, it, pure_it = jax.device_get(out)  # one host round trip
+        jnp.asarray(tgt_p), jnp.asarray(nt, jnp.int32), cfg, mode, variant,
+        record_history=record_history)
+    got = jax.device_get(out)  # one host round trip
+    T, it, pure_it = got[:3]
+    history = None
+    if record_history:
+        history = np.asarray(got[3], np.float64)[:int(it)]
     return RegistrationResult(
         transformation=np.asarray(T, np.float64),
         num_iterations=int(it),
-        num_pure_se3_iterations=int(pure_it))
+        num_pure_se3_iterations=int(pure_it),
+        history=history)

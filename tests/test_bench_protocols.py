@@ -1,0 +1,72 @@
+"""End-to-end protocol tests for the sequence benchmarks, driven on the
+synthetic stand-in fixtures that mirror the reference datasets' exact
+on-disk layouts (datasets/fixtures.py)."""
+
+import numpy as np
+import pytest
+
+from se3_icp_tpu.datasets import fixtures
+
+
+@pytest.fixture(scope="module")
+def lounge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lounge_fix")
+    fixtures.make_lounge_fixture(str(d), n_frames=11, n_points=900)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def kitti_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kitti_fix")
+    fixtures.make_kitti_fixture(str(d), max_index=6, n_points=900)
+    return str(d)
+
+
+def test_lounge_protocol_with_cf(lounge_dir):
+    from se3_icp_tpu.bench import lounge_bench
+    rep = lounge_bench.benchmark_lounge("se3_gicp_with_cf", lounge_dir,
+                                        dtype=np.float64)
+    assert rep["num_pairs"] == 2  # frames 1..11 -> pairs (1,6),(6,11)
+    assert rep["avg_angular_SO3_error"] < 2.0
+    assert rep["avg_tra_error"] < 0.25
+
+
+def test_lounge_loader_gt_convention(lounge_dir):
+    """T12 = inv(T2) @ T1 must map source (frame i) onto target (i+5)."""
+    from se3_icp_tpu.bench import lounge_bench
+    pairs, gts = lounge_bench.load_lounge_pairs(lounge_dir)
+    src, tgt = pairs[0]
+    T12 = gts[0]
+    moved = src @ T12[:3, :3].T + T12[:3, 3]
+    # frames resample the same scene: NN distance after GT transform is
+    # tiny compared to before
+    from scipy.spatial import cKDTree
+    tree = cKDTree(tgt)
+    after = tree.query(moved)[0].mean()
+    before = tree.query(src)[0].mean()
+    assert after < before * 0.5
+    assert after < 0.05
+
+
+def test_kitti_protocol(kitti_dir):
+    from se3_icp_tpu.bench import kitti_bench
+    rep = kitti_bench.benchmark_kitti("se3_pt2pl", kitti_dir,
+                                      dtype=np.float64, max_index=6)
+    assert rep["num_pairs"] == 3
+    assert rep["mean_rel_rot"] < 2.0
+    assert rep["mean_rel_tra"] < 0.25
+    assert rep["last_frame_tra_error"] < 0.5
+
+
+def test_kitti_every_other_pose_line(kitti_dir):
+    """07.txt has one row per raw frame; the loader must keep every
+    other row so poses align with the step-2 clouds
+    (benchmark_kitti.cpp:79-98)."""
+    import os
+    from se3_icp_tpu.bench import kitti_bench
+    from se3_icp_tpu.utils import ply
+    clouds, poses = kitti_bench.load_kitti(kitti_dir, max_index=6)
+    raw = ply.read_trajectory_12col(
+        os.path.join(kitti_dir, "Sequence_07", "07.txt"))
+    assert len(clouds) == 4
+    np.testing.assert_allclose(poses[1], raw[2])

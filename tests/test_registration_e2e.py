@@ -131,3 +131,44 @@ def test_padding_invariance(golden_problem):
     for r in (r1, r2):
         so3, tra = _errors(r.transformation, T_gt)
         assert so3 < 0.05 and tra < 0.05
+
+
+def test_degenerate_iteration_caps_terminate():
+    """max_num_iterations <= max_num_se3_iterations (or 1) must still
+    terminate: the on-device while_loop uses >= stop tests, since a
+    masked batched loop can step past an == threshold (an == test hung
+    the TPU watchdog before this regression test existed)."""
+    import numpy as np
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.utils.config import GOLDEN
+
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(300, 3)).astype(np.float32)
+    for mx, mxse3 in ((1, 1), (3, 5), (2, 10)):
+        cfg = GOLDEN.replace(mse=0.0, max_num_iterations=mx,
+                             max_num_se3_iterations=mxse3,
+                             number_of_nn_for_lrf=12)
+        r = reg.register_pair(src, src, "se3_pt2pl", cfg)
+        assert r.num_iterations <= max(mx, mxse3) + 1
+
+
+def test_estimated_history():
+    """Per-iteration transform history (the reference's
+    estimated_history_, ref:cpp:491,538): last entry == final transform,
+    entries change monotonically toward it."""
+    import numpy as np
+    from se3_icp_tpu.datasets import synthetic
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.utils.config import GOLDEN
+
+    p = synthetic.synthetic_problem("easy", 0.002, seed=123)
+    r = reg.register_pair(p.source, p.target, "gicp", GOLDEN,
+                          record_history=True)
+    assert r.history is not None
+    assert r.history.shape == (r.num_iterations, 4, 4)
+    np.testing.assert_allclose(r.history[-1], r.transformation, atol=1e-5)
+    # history also works for the se3 modes, restored to original coords
+    r2 = reg.register_pair(p.source, p.target, "se3_pt2pl", GOLDEN,
+                           record_history=True)
+    np.testing.assert_allclose(r2.history[-1], r2.transformation,
+                               atol=1e-5)
