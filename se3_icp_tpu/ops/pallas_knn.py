@@ -43,14 +43,16 @@ def _kernel(n_ref, q_ref, t_ref, best_d2_ref, best_idx_ref):
 
     q = q_ref[:]
     t = t_ref[:]
-    # norms in f32; the cross term on the MXU in bf16 (exact for the
-    # zero padding, and the XLA default path downcasts the same way)
+    # full-f32 cross term (multi-pass on the MXU): near-tie argmins must
+    # match the exact XLA path -- bf16's ~0.4% relative error flipped
+    # ~1% of matches at 4k x 4k x 12, and the kernel is VPU/tile-bound,
+    # so the extra MXU passes are free
     qn = jnp.sum(q * q, axis=1, keepdims=True)
     tn = jnp.sum(t * t, axis=1)[None, :]
     prod = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     d2 = qn - 2.0 * prod + tn
 
     col = j * tile_t + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
