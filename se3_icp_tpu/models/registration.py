@@ -199,8 +199,11 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
                 cfg.normals_knn if need_tgt_nrm else 0,
                 cfg.gicp_normals_knn if need_cov else 0)
     if points_axis is None:
-        idx_src = knn.knn_self(src_c, k_src, n_src)[0] if k_src else None
-        idx_tgt = knn.knn_self(tgt_c, k_tgt, n_tgt)[0] if k_tgt else None
+        idx_src = d2_src = idx_tgt = d2_tgt = None
+        if k_src:
+            idx_src, d2_src = knn.knn_self(src_c, k_src, n_src)
+        if k_tgt:
+            idx_tgt, d2_tgt = knn.knn_self(tgt_c, k_tgt, n_tgt)
     else:
         # model-parallel setup: each device runs the kNN for its row
         # slice of queries against the full (replicated) cloud; results
@@ -216,11 +219,19 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
         beta = jnp.asarray(cfg.beta_transl, dtype)
         if cfg.lrf_method == "toldi":
             klrf = cfg.number_of_nn_for_lrf
-            rot_s0, _ = lrf.toldi_frames_from_neighbors(
-                src_c, idx_src[:, :klrf])
-            rot_t0, _ = lrf.toldi_frames_from_neighbors(
-                tgt_c, idx_tgt[:, :klrf])
-            if points_axis is not None:
+            if points_axis is None:
+                # gather-free path: masked-matmul neighborhood
+                # reductions (random row gathers are scalar-bound on
+                # TPU; see lrf.toldi_frames_dense)
+                rot_s0, _ = lrf.toldi_frames_dense(
+                    src_c, d2_src[:, :klrf], n_src)
+                rot_t0, _ = lrf.toldi_frames_dense(
+                    tgt_c, d2_tgt[:, :klrf], n_tgt)
+            else:
+                rot_s0, _ = lrf.toldi_frames_from_neighbors(
+                    src_c, idx_src[:, :klrf])
+                rot_t0, _ = lrf.toldi_frames_from_neighbors(
+                    tgt_c, idx_tgt[:, :klrf])
                 rot_s0 = _gather_rows(rot_s0, points_axis)
                 rot_t0 = _gather_rows(rot_t0, points_axis)
         else:  # SHOT LRF (dormant alternative in the reference, C4)

@@ -114,6 +114,96 @@ def toldi_frames_from_neighbors(points, idx, exact_centroid: bool = False):
     return rot, nb[:, 0, :]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("exact_centroid", "chunk"))
+def toldi_frames_dense(points, d2sorted, n_valid=None,
+                       exact_centroid: bool = False, chunk: int = 1024):
+    """Gather-free TOLDI: identical math to
+    ``toldi_frames_from_neighbors`` but every neighborhood reduction is
+    a masked [C,N]x[N,*] matmul instead of a [N,k,3] row gather.
+
+    Motivation (measured, TPU v5e, 16x4608 batch): the neighbor gather
+    is 42 ms of the 57 ms gather-based kernel -- random row gathers are
+    scalar-bound on TPU, while the MXU eats the equivalent masked
+    matmuls.  Rank membership is recovered from the SORTED kNN
+    distances: ranks 1..r == {j : 0 < d2_ij <= d2sorted[i, r]}, with
+    midpoint thresholds so a last-ulp difference between the distance
+    matrix here and the one inside the kNN cannot flip boundary
+    membership.  Query rows are processed in chunks so the [C,N]
+    distance block never exceeds VMEM-friendly sizes and KITTI-scale
+    clouds (15k+) stay within HBM.
+
+    ``d2sorted [N,k]``: ascending squared neighbor distances with self
+    at rank 0 (from ``knn.knn_self``).  Under the approx top-k the
+    thresholds come from the approximate order statistics, so the
+    resulting sets can be (slightly) CLOSER to the exact neighborhoods
+    than the gathered approximate index lists.
+    """
+    dtype = points.dtype
+    n = points.shape[0]
+    k = d2sorted.shape[1]
+    rz = k // 3
+    divisor = jnp.asarray((rz - 1) if exact_centroid else rz, dtype)
+    colv = jnp.ones(n, bool) if n_valid is None else (
+        jnp.arange(n) < n_valid)
+    # outer products p p^T flattened once: Sum_j m_ij p_j p_j^T by matmul
+    P9 = (points[:, :, None] * points[:, None, :]).reshape(n, 9)
+
+    pad = (-n) % chunk
+    qs = jnp.pad(points, ((0, pad), (0, 0)))
+    qis = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad))
+    d2s = jnp.pad(d2sorted, ((0, pad), (0, 0)))
+    col = jnp.arange(n, dtype=jnp.int32)
+
+    def one(args):
+        q, qi, d2row = args                       # [C,3],[C],[C,k]
+        c = q.shape[0]
+        D2 = knn._pairwise_d2(q, points)          # [C,N]
+        base = (col[None, :] != qi[:, None]) & colv[None, :]
+        # midpoint thresholds: rank sets {1..rz-1}, {1..rz}, {1..k-1}
+        thr_cen = 0.5 * (d2row[:, rz - 1] + d2row[:, rz])
+        thr_cov = 0.5 * (d2row[:, rz] + d2row[:, rz + 1])
+        r2 = d2row[:, k - 1]
+        thr_all = r2 * (1.0 + 1e-6) + jnp.asarray(1e-30, dtype)
+        f = lambda m: m.astype(dtype)             # noqa: E731
+        Mcen = f(base & (D2 <= thr_cen[:, None]))
+        Mcov = f(base & (D2 <= thr_cov[:, None]))
+        Mall = f(base & (D2 <= thr_all[:, None]))
+
+        cen = (Mcen @ points) / divisor           # [C,3]
+        S1 = Mcov @ points                        # [C,3]
+        S2 = (Mcov @ P9).reshape(c, 3, 3)
+        m = jnp.sum(Mcov, axis=1)
+        cov = (S2
+               - S1[:, :, None] * cen[:, None, :]
+               - cen[:, :, None] * S1[:, None, :]
+               + m[:, None, None] * cen[:, :, None] * cen[:, None, :])
+        normal = eigh3.smallest_eigvec3(cov)      # [C,3]
+
+        cnt = jnp.sum(Mall, axis=1)
+        arrow = Mall @ points - cnt[:, None] * q
+        d = jnp.sqrt(jnp.maximum(D2, 0.0))
+        radius = jnp.sqrt(jnp.maximum(r2, 0.0))
+        w1 = (radius[:, None] - d) ** 2
+        # (n_i . v_ij) = n_i . p_j - n_i . p_i  -- one [C,3]x[3,N] matmul
+        zdot = normal @ points.T - jnp.sum(normal * q, -1, keepdims=True)
+        W = Mall * w1 * zdot * zdot
+        scaled = W @ points - jnp.sum(W, axis=1)[:, None] * q
+
+        flip = jnp.sum(normal * arrow, axis=-1) < 0.0
+        z = jnp.where(flip[:, None], -normal, normal)
+        x = scaled - jnp.sum(scaled * z, -1, keepdims=True) * z
+        xn = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x = x / jnp.maximum(xn, jnp.asarray(1e-30, dtype))
+        y = jnp.cross(z, x)
+        return jnp.stack([x, y, z], axis=-1)
+
+    rot = jax.lax.map(one, (qs.reshape(-1, chunk, 3),
+                            qis.reshape(-1, chunk),
+                            d2s.reshape(-1, chunk, k)))
+    return rot.reshape(-1, 3, 3)[:n], points
+
+
 @functools.partial(jax.jit, static_argnames=("max_k",))
 def shot_frames(points, radius: float, max_k: int = 128, n_valid=None):
     """SHOT LRF frames (C4, ref:cpp:121-223), radius neighborhood

@@ -138,3 +138,30 @@ def test_shot_frames_basic():
     err = metrics.angular_error_so3_alt(jnp.asarray(R) @ jnp.asarray(rot),
                                         rot2)
     assert float(jnp.median(err)) < 0.5
+
+
+def test_toldi_dense_matches_gather():
+    """Gather-free (masked-matmul) TOLDI == gather-based TOLDI on exact
+    kNN inputs; frames may only differ at rank-set tie boundaries, which
+    random clouds do not produce."""
+    import jax.numpy as jnp
+    from se3_icp_tpu.ops import knn, lrf
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(700, 3))
+    pts_j = jnp.asarray(pts)
+    k = 30
+    idx, d2 = knn.knn_self(pts_j, k, None)
+    rot_g, org_g = lrf.toldi_frames_from_neighbors(pts_j, idx)
+    rot_d, org_d = lrf.toldi_frames_dense(pts_j, d2, None, chunk=256)
+    np.testing.assert_allclose(np.asarray(rot_d), np.asarray(rot_g),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(org_d), np.asarray(org_g),
+                               atol=0)
+    # padded/masked variant agrees on the valid prefix
+    n_valid = jnp.asarray(600, jnp.int32)
+    idx2, d22 = knn.knn_self(pts_j, k, n_valid)
+    rot_g2, _ = lrf.toldi_frames_from_neighbors(pts_j, idx2)
+    rot_d2, _ = lrf.toldi_frames_dense(pts_j, d22, n_valid, chunk=256)
+    np.testing.assert_allclose(np.asarray(rot_d2)[:600],
+                               np.asarray(rot_g2)[:600], atol=1e-9)
