@@ -199,11 +199,14 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
                 cfg.normals_knn if need_tgt_nrm else 0,
                 cfg.gicp_normals_knn if need_cov else 0)
     if points_axis is None:
+        # +1 column: the dense (gather-free) neighborhood stats recover
+        # rank sets from midpoint thresholds, which needs the first
+        # EXCLUDED order statistic too
         idx_src = d2_src = idx_tgt = d2_tgt = None
         if k_src:
-            idx_src, d2_src = knn.knn_self(src_c, k_src, n_src)
+            idx_src, d2_src = knn.knn_self(src_c, k_src + 1, n_src)
         if k_tgt:
-            idx_tgt, d2_tgt = knn.knn_self(tgt_c, k_tgt, n_tgt)
+            idx_tgt, d2_tgt = knn.knn_self(tgt_c, k_tgt + 1, n_tgt)
     else:
         # model-parallel setup: each device runs the kNN for its row
         # slice of queries against the full (replicated) cloud; results
@@ -260,16 +263,28 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
     # --- variant-specific preparation (prefix slices of the shared kNN)
     tgt_normals = cov_src0 = cov_tgt = None
     if eff_variant == "pt2pl":
-        tgt_normals = lrf.normals_from_neighbors(
-            tgt_c, idx_tgt[:, :cfg.normals_knn])
-        if points_axis is not None:
+        if points_axis is None:
+            tgt_normals = lrf.normals_dense(tgt_c, d2_tgt,
+                                            cfg.normals_knn, n_tgt)
+        else:
+            tgt_normals = lrf.normals_from_neighbors(
+                tgt_c, idx_tgt[:, :cfg.normals_knn])
             tgt_normals = _gather_rows(tgt_normals, points_axis)
     elif eff_variant == "gicp":
-        cov_src0 = lrf.gicp_covariances_from_neighbors(
-            src_c, idx_src[:, :cfg.gicp_normals_knn], cfg.gicp_epsilon)
-        cov_tgt = lrf.gicp_covariances_from_neighbors(
-            tgt_c, idx_tgt[:, :cfg.gicp_normals_knn], cfg.gicp_epsilon)
-        if points_axis is not None:
+        if points_axis is None:
+            cov_src0 = lrf.gicp_covariances_dense(
+                src_c, d2_src, cfg.gicp_normals_knn, cfg.gicp_epsilon,
+                n_src)
+            cov_tgt = lrf.gicp_covariances_dense(
+                tgt_c, d2_tgt, cfg.gicp_normals_knn, cfg.gicp_epsilon,
+                n_tgt)
+        else:
+            cov_src0 = lrf.gicp_covariances_from_neighbors(
+                src_c, idx_src[:, :cfg.gicp_normals_knn],
+                cfg.gicp_epsilon)
+            cov_tgt = lrf.gicp_covariances_from_neighbors(
+                tgt_c, idx_tgt[:, :cfg.gicp_normals_knn],
+                cfg.gicp_epsilon)
             cov_src0 = _gather_rows(cov_src0, points_axis)
             cov_tgt = _gather_rows(cov_tgt, points_axis)
 

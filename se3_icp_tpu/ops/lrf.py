@@ -276,6 +276,63 @@ def normals_from_neighbors(points, idx):
     return eigh3.smallest_eigvec3(cov)
 
 
+@functools.partial(jax.jit, static_argnames=("k_use", "chunk"))
+def normals_dense(points, d2sorted, k_use: int, n_valid=None,
+                  chunk: int = 1024):
+    """Gather-free PCA normals: same neighborhoods as
+    ``normals_from_neighbors`` over ``idx[:, :k_use]`` (ranks 0..k_use-1
+    INCLUDING self), recovered as the masked set
+    {j : d2_ij <= midpoint(d2sorted[i, k_use-1], d2sorted[i, k_use])}
+    -- so ``d2sorted`` must be at least k_use+1 wide.  Covariance
+    reductions are [C,N]x[N,*] matmuls (see ``toldi_frames_dense`` for
+    the why)."""
+    dtype = points.dtype
+    n = points.shape[0]
+    if d2sorted.shape[1] <= k_use:
+        raise ValueError(f"d2sorted width {d2sorted.shape[1]} must "
+                         f"exceed k_use={k_use}")
+    colv = jnp.ones(n, bool) if n_valid is None else (
+        jnp.arange(n) < n_valid)
+    P9 = (points[:, :, None] * points[:, None, :]).reshape(n, 9)
+    kinv = jnp.asarray(1.0 / k_use, dtype)
+
+    pad = (-n) % chunk
+    qs = jnp.pad(points, ((0, pad), (0, 0)))
+    thr = 0.5 * (d2sorted[:, k_use - 1] + d2sorted[:, k_use])
+    thrs = jnp.pad(thr, (0, pad))
+
+    def one(args):
+        q, t = args
+        c = q.shape[0]
+        D2 = knn._pairwise_d2(q, points)
+        M = ((D2 <= t[:, None]) & colv[None, :]).astype(dtype)
+        S1 = M @ points
+        S2 = (M @ P9).reshape(c, 3, 3)
+        m = jnp.sum(M, axis=1)
+        mean = S1 * kinv                       # gather path divides by k
+        cov = (S2
+               - S1[:, :, None] * mean[:, None, :]
+               - mean[:, :, None] * S1[:, None, :]
+               + m[:, None, None] * mean[:, :, None] * mean[:, None, :])
+        return eigh3.smallest_eigvec3(cov * kinv)
+
+    nrm = jax.lax.map(one, (qs.reshape(-1, chunk, 3),
+                            thrs.reshape(-1, chunk)))
+    return nrm.reshape(-1, 3)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k_use", "epsilon", "chunk"))
+def gicp_covariances_dense(points, d2sorted, k_use: int,
+                           epsilon: float = 1e-3, n_valid=None,
+                           chunk: int = 1024):
+    """Gather-free GICP covariance init (C14): dense normals ->
+    Sigma = Rx diag(eps,1,1) Rx^T."""
+    normals = normals_dense(points, d2sorted, k_use, n_valid, chunk)
+    Rx = rotation_from_e1_to_x(normals)
+    C = jnp.diag(jnp.asarray([epsilon, 1.0, 1.0], points.dtype))
+    return Rx @ C @ Rx.mT
+
+
 @jax.jit
 def rotation_from_e1_to_x(x):
     """Open3D's private GetRotationFromE1ToX, copied by the reference

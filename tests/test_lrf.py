@@ -165,3 +165,21 @@ def test_toldi_dense_matches_gather():
     rot_d2, _ = lrf.toldi_frames_dense(pts_j, d22, n_valid, chunk=256)
     np.testing.assert_allclose(np.asarray(rot_d2)[:600],
                                np.asarray(rot_g2)[:600], atol=1e-9)
+
+
+def test_normals_covs_dense_match_gather():
+    import jax.numpy as jnp
+    from se3_icp_tpu.ops import knn, lrf
+
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.normal(size=(600, 3)))
+    k = 20
+    idx, d2 = knn.knn_self(pts, k + 1, None)
+    n_g = lrf.normals_from_neighbors(pts, idx[:, :k])
+    n_d = lrf.normals_dense(pts, d2, k, None, chunk=256)
+    np.testing.assert_allclose(np.asarray(n_d), np.asarray(n_g),
+                               atol=1e-9)
+    c_g = lrf.gicp_covariances_from_neighbors(pts, idx[:, :k])
+    c_d = lrf.gicp_covariances_dense(pts, d2, k, n_valid=None, chunk=256)
+    np.testing.assert_allclose(np.asarray(c_d), np.asarray(c_g),
+                               atol=1e-9)
