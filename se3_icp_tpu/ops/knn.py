@@ -82,11 +82,36 @@ def nn_argmin_xla(queries, targets, n_targets=None, chunk: int = 2048):
     return idx.reshape(-1)[:nq], d2.reshape(-1)[:nq]
 
 
+@jax.custom_batching.custom_vmap
+def _nn_argmin_pallas_or_xla(queries, targets, n_targets):
+    from se3_icp_tpu.ops import pallas_knn
+    return pallas_knn.nn_argmin_pallas(queries, targets, n_targets)
+
+
+@_nn_argmin_pallas_or_xla.def_vmap
+def _nn_argmin_pallas_vmap_rule(axis_size, in_batched, queries, targets,
+                                n_targets):
+    """Batched (vmapped) calls fall back to the XLA path: Pallas TPU
+    block-shape divisibility rejects the kernel's whole-array output
+    blocks once vmap adds a leading grid dimension, and XLA is the
+    faster path at batched sizes anyway."""
+    qb, tb, nb = in_batched
+    bcast = lambda x, b: x if b else (  # noqa: E731
+        jnp.broadcast_to(x[None], (axis_size,) + jnp.shape(x)))
+    out = jax.vmap(nn_argmin_xla)(bcast(queries, qb), bcast(targets, tb),
+                                  bcast(jnp.asarray(n_targets), nb))
+    return out, (True, True)
+
+
 def nn_argmin(queries, targets, n_targets=None):
-    """1-NN dispatch: Pallas on TPU, XLA elsewhere.  Same results."""
+    """1-NN dispatch: Pallas on TPU (opt-in), XLA elsewhere.  Same
+    results; under vmap the Pallas opt-in transparently reverts to XLA
+    (see the custom_vmap rule)."""
     if _use_pallas():
-        from se3_icp_tpu.ops import pallas_knn
-        return pallas_knn.nn_argmin_pallas(queries, targets, n_targets)
+        if n_targets is None:
+            n_targets = targets.shape[0]
+        return _nn_argmin_pallas_or_xla(queries, targets,
+                                        jnp.asarray(n_targets, jnp.int32))
     return nn_argmin_xla(queries, targets, n_targets)
 
 
