@@ -101,14 +101,45 @@ def _embed12(rot, trans):
     return jnp.concatenate([cols, trans], axis=-1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "mode", "variant", "points_axis",
-                     "record_history"))
+# Float hyperparameters passed as ONE traced vector so hyperparameter
+# sweeps (the reference's alpha grid, makeHybridLGrid) reuse a single
+# compiled program instead of recompiling per value.  Fields that shape
+# the program (k's, iteration caps, overlap's trim shortcut, epsilon in
+# a static argname) stay static.
+_TRACED_FIELDS = ("alpha_rot", "beta_transl", "scale_preprocessing",
+                  "mse", "mse_switch_error")
+
+
+def split_cfg(cfg: RegistrationConfig, dtype):
+    """(traced float vector, static remainder) -- callers that build
+    their own jitted programs pass the floats as a traced argument so
+    hyperparameter sweeps share one compilation."""
+    floats = jnp.asarray([getattr(cfg, f) for f in _TRACED_FIELDS],
+                         dtype)
+    static_cfg = cfg.replace(**{f: 0.0 for f in _TRACED_FIELDS})
+    return floats, static_cfg
+
+
 def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
                     mode: str, variant: str,
                     points_axis: str | None = None,
                     record_history: bool = False):
+    floats, static_cfg = split_cfg(cfg, src.dtype)
+    return _register_arrays_jit(src, n_src, tgt, n_tgt, floats,
+                                cfg=static_cfg, mode=mode,
+                                variant=variant, points_axis=points_axis,
+                                record_history=record_history)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mode", "variant", "points_axis",
+                     "record_history"))
+def _register_arrays_jit(src, n_src, tgt, n_tgt, floats,
+                         cfg: RegistrationConfig,
+                         mode: str, variant: str,
+                         points_axis: str | None = None,
+                         record_history: bool = False):
     """Register one padded pair.  Returns (T [4,4] in original coords,
     num_iterations, num_pure_se3_iterations), plus the per-iteration
     accumulated-transform history [max_iters, 4, 4] when
@@ -132,8 +163,9 @@ def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
     # contraction in this trace must be true f32 (GICP literally diverges
     # otherwise -- observed on v5e).
     with jax.default_matmul_precision("highest"):
-        return _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode,
-                                     variant, points_axis, record_history)
+        return _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg,
+                                     mode, variant, points_axis,
+                                     record_history)
 
 
 def _my_rows(x, axis_name):
@@ -148,8 +180,10 @@ def _gather_rows(x_local, axis_name):
     return jax.lax.all_gather(x_local, axis_name, tiled=True)
 
 
-def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
-                          points_axis=None, record_history=False):
+def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
+                          variant, points_axis=None,
+                          record_history=False):
+    (f_alpha, f_beta, f_scale_pre, f_mse, f_switch) = floats
     dtype = src.dtype
     ns, nt = src.shape[0], tgt.shape[0]
     src_valid = jnp.arange(ns) < n_src
@@ -172,7 +206,7 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
         cen_t = _masked_centroid(tgt, tgt_valid, n_tgt)
         r_s = _largest_radius(src, cen_s, src_valid)
         r_t = _largest_radius(tgt, cen_t, tgt_valid)
-        scaling = jnp.asarray(cfg.scale_preprocessing, dtype) / jnp.maximum(
+        scaling = f_scale_pre / jnp.maximum(
             jnp.maximum(r_s, r_t), jnp.asarray(1e-30, dtype))
         src_c = (src - cen_s) * scaling
         tgt_c = (tgt - cen_t) * scaling
@@ -218,8 +252,8 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
 
     # --- SE(3) frames + alpha/beta weighting (ref:cpp:586-626)
     if is_se3:
-        alpha = jnp.asarray(cfg.alpha_rot, dtype)
-        beta = jnp.asarray(cfg.beta_transl, dtype)
+        alpha = f_alpha
+        beta = f_beta
         if cfg.lrf_method == "toldi":
             klrf = cfg.number_of_nn_for_lrf
             if points_axis is None:
@@ -397,7 +431,7 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
         t_change = jnp.linalg.norm(T - T_new)  # ref:cpp:711 Frobenius
 
         # --- phase switch / stopping (ref:cpp:718-729)
-        stop_thresh = jnp.asarray(cfg.mse, dtype) * (
+        stop_thresh = f_mse * (
             jnp.asarray(stop_scale, dtype) if stop_scale is not None
             else scaling)
         if mode == "se3_pure":
@@ -408,8 +442,7 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, cfg, mode, variant,
             new_done = (it >= max_iters) | (mse_rel < stop_thresh)
         else:
             hit_switch = ((it >= cfg.max_num_se3_iterations)
-                          | (t_change < jnp.asarray(cfg.mse_switch_error,
-                                                    dtype)))
+                          | (t_change < f_switch))
             new_switched = switched | hit_switch
             new_done = switched & ((it >= max_iters)
                                    | (mse_rel < stop_thresh))

@@ -32,23 +32,49 @@ def default_mesh(axis: str = "pairs", devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mode", "variant"))
-def _register_batch_vmapped(src, n_src, tgt, n_tgt, cfg, mode, variant):
-    fn = functools.partial(reg.register_arrays, cfg=cfg, mode=mode,
-                           variant=variant)
-    return jax.vmap(fn)(src, n_src, tgt, n_tgt)
+# Compiled batch programs are cached by (static config, mesh, axis):
+# a fresh jit-of-closure per call would miss the jit cache every time,
+# and a jit with the FULL config static would recompile for every value
+# of a hyperparameter sweep (the alpha grid).  Float hyperparameters
+# travel as one traced vector (registration.split_cfg).
+
+@functools.lru_cache(maxsize=128)
+def _compiled_batch(static_cfg, mode, variant, mesh, axis):
+    def one(s, ns, t, nt, fl):
+        return reg._register_arrays_jit(s, ns, t, nt, fl, cfg=static_cfg,
+                                        mode=mode, variant=variant)
+
+    batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None))
+    if mesh is None:
+        return jax.jit(batched)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+                       out_specs=P(axis))
+    def _sharded(s, ns, t, nt, fl):
+        return batched(s, ns, t, nt, fl)
+
+    return jax.jit(_sharded)
 
 
-def _pair_fn(cfg, algorithm: str):
-    """(src, n_src, tgt, n_tgt) -> (T, iters, pure_iters) for one pair;
-    dispatches between the ICP engine and the FGR baseline."""
-    if algorithm == "fgr":
-        from se3_icp_tpu.models import fgr
-        fcfg = cfg if isinstance(cfg, fgr.FGRConfig) else fgr.FGRConfig()
-        return functools.partial(fgr.fgr_register_arrays, cfg=fcfg)
-    mode, variant = parse_algorithm(algorithm)
-    return functools.partial(reg.register_arrays, cfg=cfg, mode=mode,
-                             variant=variant)
+@functools.lru_cache(maxsize=32)
+def _compiled_batch_fgr(fgr_cfg, mesh, axis):
+    from se3_icp_tpu.models import fgr
+
+    def one(s, ns, t, nt):
+        return fgr.fgr_register_arrays(s, ns, t, nt, fgr_cfg)
+
+    batched = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(batched)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                       out_specs=P(axis))
+    def _sharded(s, ns, t, nt):
+        return batched(s, ns, t, nt)
+
+    return jax.jit(_sharded)
 
 
 def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
@@ -60,45 +86,37 @@ def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
     the leading pair axis is sharded across it.  Returns
     (T [P,4,4], iters [P], pure_iters [P]).
     """
+    if mesh is not None:
+        ndev = mesh.shape[axis]
+        p = src.shape[0]
+        pad = (-p) % ndev
+        if pad:
+            def padp(x):
+                return jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+            src, tgt = padp(src), padp(tgt)
+            n_src, n_tgt = padp(n_src), padp(n_tgt)
+        shard = NamedSharding(mesh, P(axis))
+        src = jax.device_put(src, shard)
+        tgt = jax.device_put(tgt, shard)
+        n_src = jax.device_put(n_src, shard)
+        n_tgt = jax.device_put(n_tgt, shard)
+    else:
+        pad = 0
+        p = src.shape[0]
+
     if algorithm == "fgr":
-        fn = _pair_fn(cfg, algorithm)
-        if mesh is None:
-            return jax.jit(jax.vmap(fn))(src, n_src, tgt, n_tgt)
-        return _shard_over_pairs(fn, src, n_src, tgt, n_tgt, mesh, axis)
-    mode, variant = parse_algorithm(algorithm)
-    if mesh is None:
-        return _register_batch_vmapped(src, n_src, tgt, n_tgt, cfg, mode,
-                                       variant)
-    fn = functools.partial(reg.register_arrays, cfg=cfg, mode=mode,
-                           variant=variant)
-    return _shard_over_pairs(fn, src, n_src, tgt, n_tgt, mesh, axis)
-
-
-def _shard_over_pairs(fn, src, n_src, tgt, n_tgt, mesh: Mesh, axis: str):
-    """Shard the leading pair axis of a vmapped per-pair function."""
-    ndev = mesh.shape[axis]
-    p = src.shape[0]
-    pad = (-p) % ndev
+        from se3_icp_tpu.models import fgr
+        fcfg = cfg if isinstance(cfg, fgr.FGRConfig) else fgr.FGRConfig()
+        out = _compiled_batch_fgr(fcfg, mesh, axis)(src, n_src, tgt,
+                                                    n_tgt)
+    else:
+        mode, variant = parse_algorithm(algorithm)
+        floats, static_cfg = reg.split_cfg(cfg, src.dtype)
+        out = _compiled_batch(static_cfg, mode, variant, mesh, axis)(
+            src, n_src, tgt, n_tgt, floats)
     if pad:
-        def padp(x):
-            return jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
-        src, tgt = padp(src), padp(tgt)
-        n_src, n_tgt = padp(n_src), padp(n_tgt)
-
-    shard = NamedSharding(mesh, P(axis))
-
-    @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                       out_specs=P(axis))
-    def _sharded(s, ns, t, nt):
-        return jax.vmap(fn)(s, ns, t, nt)
-
-    args = (jax.device_put(src, shard), jax.device_put(n_src, shard),
-            jax.device_put(tgt, shard), jax.device_put(n_tgt, shard))
-    T, it, pure = jax.jit(_sharded)(*args)
-    if pad:
-        T, it, pure = T[:p], it[:p], pure[:p]
-    return T, it, pure
+        out = tuple(x[:p] for x in out)
+    return out
 
 
 def pack_pairs(pairs, dtype=np.float32, bucket: int = 512):
