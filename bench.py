@@ -40,7 +40,8 @@ from se3_icp_tpu.parallel import pairs as par  # noqa: E402
 GOLDEN_DIR = "/root/reference/created_example_reg_problem"
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_cpu_baseline.json")
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+# 64 saturates one v5e chip (64: 64.2 pairs/s, 128: 65.0; 16: 52.9)
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 
 
