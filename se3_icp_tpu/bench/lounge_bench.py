@@ -80,3 +80,50 @@ def benchmark_lounge(algorithm: str, folder: str, rot_alpha=3.0,
               "avg_eul_angle_error"):
         print(f"{k} = {report[k]}")
     return report
+
+
+def analyze_lounge(folder: str):
+    """The reference's dormant dataset analyses
+    (benchmark_lounge.cpp:404-515):
+
+      * registration difficulty: mean nearest-neighbor distance of the
+        GT-aligned source against the target, plus a top-70%% trimmed
+        mean to suppress non-overlap outliers;
+      * Chamfer distance (Fan et al. CVPR 2017 squared form) of the
+        GT-aligned pairs.
+
+    NN distances run on-device through the same brute-force kernel the
+    engine uses (ops.knn.nn_distances).
+    """
+    import jax.numpy as jnp
+
+    from se3_icp_tpu.ops import knn as knn_ops
+
+    pairs, gts = load_lounge_pairs(folder)
+    avg_d, avg_d70, avg_ch = [], [], []
+    for (src, tgt), T12 in zip(pairs, gts):
+        moved = src @ T12[:3, :3].T + T12[:3, 3]
+        d_lr = np.sqrt(np.maximum(np.asarray(knn_ops.nn_distances(
+            jnp.asarray(moved), jnp.asarray(tgt))), 0.0))
+        d_rl = np.sqrt(np.maximum(np.asarray(knn_ops.nn_distances(
+            jnp.asarray(tgt), jnp.asarray(moved))), 0.0))
+        avg_d.append(d_lr.mean())
+        k70 = int(0.7 * len(d_lr))
+        avg_d70.append(np.sort(d_lr)[:k70].mean())
+        avg_ch.append((d_lr ** 2).mean() + (d_rl ** 2).mean())
+        print(f"after_transform_distance mean =  {avg_d[-1]}")
+        print(f"after_transform_distance mean (top 70%) =  {avg_d70[-1]}")
+    report = {
+        "num_pairs": len(pairs),
+        "avg_point_cloud_distance": float(np.mean(avg_d)),
+        "avg_point_cloud_distance_top70": float(np.mean(avg_d70)),
+        "avg_chamfer_distance": float(np.mean(avg_ch)),
+    }
+    print("=============================================")
+    print(f"Overall average point cloud distance = "
+          f"{report['avg_point_cloud_distance']}")
+    print(f"Overall average point cloud distance (top 70%) = "
+          f"{report['avg_point_cloud_distance_top70']}")
+    print(f"Overall average chamfer distance (lounge) = "
+          f"{report['avg_chamfer_distance']}")
+    return report

@@ -152,6 +152,11 @@ def cmd_bench_lounge(args):
         fixtures.make_lounge_fixture(args.folder)
         print(f"synthetic lounge-layout fixture written to {args.folder}")
         return
+    if args.analyze:
+        rep = lounge_bench.analyze_lounge(args.folder)
+        if args.json:
+            print(json.dumps(rep))
+        return
     rep = lounge_bench.benchmark_lounge(
         args.algorithm, args.folder, rot_alpha=args.rot_alpha,
         checkpoint=args.checkpoint, dtype=np.dtype(args.dtype))
@@ -267,6 +272,10 @@ def build_parser():
         # every benchmark can generate its own (synthetic stand-in)
         # dataset in the reference's on-disk layout
         p.add_argument("--generate", action="store_true")
+        if name == "bench-lounge":
+            p.add_argument("--analyze", action="store_true",
+                           help="dataset difficulty + Chamfer analyses "
+                                "(benchmark_lounge.cpp:404-515)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("test-se3-pure")

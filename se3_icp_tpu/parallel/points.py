@@ -42,6 +42,23 @@ def points_mesh(axis: str = "points", devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+@functools.lru_cache(maxsize=64)
+def _compiled_points_sharded(static_cfg, mode, variant, mesh, axis):
+    """Cached compiled program (same rationale as pairs._compiled_batch:
+    a fresh jit-of-closure per call misses the jit cache every time)."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()), out_specs=(P(), P(), P()),
+        check_vma=False)  # outputs are replicated by construction
+    def _run(s, ns, t, nt, fl):
+        return reg._register_arrays_jit(s, ns, t, nt, fl, cfg=static_cfg,
+                                        mode=mode, variant=variant,
+                                        points_axis=axis)
+
+    return jax.jit(_run)
+
+
 def register_arrays_points_sharded(src, n_src, tgt, n_tgt,
                                    cfg: RegistrationConfig,
                                    algorithm: str, mesh: Mesh,
@@ -58,16 +75,9 @@ def register_arrays_points_sharded(src, n_src, tgt, n_tgt,
         raise ValueError(
             f"padded cloud sizes {src.shape[0]}/{tgt.shape[0]} must be "
             f"divisible by the '{axis}' mesh axis size {ndev}")
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), P()), out_specs=(P(), P(), P()),
-        check_vma=False)  # outputs are replicated by construction
-    def _run(s, ns, t, nt):
-        return reg.register_arrays(s, ns, t, nt, cfg, mode, variant,
-                                   points_axis=axis)
-
-    return jax.jit(_run)(src, n_src, tgt, n_tgt)
+    floats, static_cfg = reg.split_cfg(cfg, src.dtype)
+    return _compiled_points_sharded(static_cfg, mode, variant, mesh,
+                                    axis)(src, n_src, tgt, n_tgt, floats)
 
 
 def register_pair_model_parallel(source_points, target_points,
@@ -97,6 +107,26 @@ def register_pair_model_parallel(source_points, target_points,
                                   int(pure))
 
 
+@functools.lru_cache(maxsize=64)
+def _compiled_batch_2d(static_cfg, mode, variant, mesh, pairs_axis,
+                       points_axis):
+    def one(s, ns, t, nt, fl):
+        return reg._register_arrays_jit(s, ns, t, nt, fl, cfg=static_cfg,
+                                        mode=mode, variant=variant,
+                                        points_axis=points_axis)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(pairs_axis), P(pairs_axis),
+                  P(pairs_axis), P(pairs_axis), P()),
+        out_specs=(P(pairs_axis), P(pairs_axis), P(pairs_axis)),
+        check_vma=False)
+    def _run(s, ns, t, nt, fl):
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, None))(s, ns, t, nt, fl)
+
+    return jax.jit(_run)
+
+
 def register_batch_2d(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
                       algorithm: str, mesh: Mesh,
                       pairs_axis: str = "pairs",
@@ -104,16 +134,7 @@ def register_batch_2d(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
     """Batched pairs over a 2-D ('pairs', 'points') mesh: DP over the
     leading pair axis, model-parallel rows within each pair."""
     mode, variant = parse_algorithm(algorithm)
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(pairs_axis), P(pairs_axis),
-                  P(pairs_axis), P(pairs_axis)),
-        out_specs=(P(pairs_axis), P(pairs_axis), P(pairs_axis)),
-        check_vma=False)
-    def _run(s, ns, t, nt):
-        fn = functools.partial(reg.register_arrays, cfg=cfg, mode=mode,
-                               variant=variant, points_axis=points_axis)
-        return jax.vmap(fn)(s, ns, t, nt)
-
-    return jax.jit(_run)(src, n_src, tgt, n_tgt)
+    floats, static_cfg = reg.split_cfg(cfg, src.dtype)
+    return _compiled_batch_2d(static_cfg, mode, variant, mesh,
+                              pairs_axis, points_axis)(
+        src, n_src, tgt, n_tgt, floats)
