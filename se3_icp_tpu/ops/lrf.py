@@ -163,7 +163,20 @@ def toldi_frames_dense(points, d2sorted, n_valid=None,
         # midpoint thresholds: rank sets {1..rz-1}, {1..rz}, {1..k-1}
         thr_cen = 0.5 * (d2row[:, rz - 1] + d2row[:, rz])
         thr_cov = 0.5 * (d2row[:, rz] + d2row[:, rz + 1])
-        r2 = d2row[:, k - 1]
+        # radius = distance to the k-th neighbor; when the cloud has
+        # fewer than k valid points the k-th slot holds the masked-kNN
+        # _BIG sentinel, and (radius - d)^2 overflows f32 to inf and
+        # poisons every frame -- clamp to the last VALID neighbor.
+        # (The reference would read FLANN garbage here; this is a
+        # deliberate robustness improvement, exercised by
+        # test_toldi_small_cloud_k_exceeds_n.)
+        if n_valid is None:
+            r2 = d2row[:, k - 1]
+        else:
+            last = jnp.minimum(k - 1,
+                               jnp.maximum(n_valid - 1, 1)).astype(
+                jnp.int32)
+            r2 = jnp.take(d2row, last, axis=1)
         thr_all = r2 * (1.0 + 1e-6) + jnp.asarray(1e-30, dtype)
         f = lambda m: m.astype(dtype)             # noqa: E731
         Mcen = f(base & (D2 <= thr_cen[:, None]))

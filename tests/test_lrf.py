@@ -183,3 +183,29 @@ def test_normals_covs_dense_match_gather():
     c_d = lrf.gicp_covariances_dense(pts, d2, k, n_valid=None, chunk=256)
     np.testing.assert_allclose(np.asarray(c_d), np.asarray(c_g),
                                atol=1e-9)
+
+
+def test_toldi_small_cloud_k_exceeds_n():
+    """k > n_valid must not overflow the arrow radius (the masked-kNN
+    _BIG sentinel squared exceeds f32 max): frames stay finite and the
+    se3 pipeline still registers a mild perturbation."""
+    import jax.numpy as jnp
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.ops import knn, lrf
+    from se3_icp_tpu.utils import metrics_host
+    from se3_icp_tpu.utils.config import GOLDEN
+
+    rng = np.random.default_rng(0)
+    pts = np.zeros((512, 3), np.float32)
+    pts[:50] = rng.normal(size=(50, 3))
+    n_valid = jnp.asarray(50, jnp.int32)
+    _, d2 = knn.knn_self(jnp.asarray(pts), 90, n_valid)
+    rot, _ = lrf.toldi_frames_dense(jnp.asarray(pts), d2, n_valid)
+    assert np.isfinite(np.asarray(rot)[:50]).all()
+
+    src = pts[:50].astype(np.float64)
+    R = np.array([[0.995, -0.0998, 0], [0.0998, 0.995, 0], [0, 0, 1.0]])
+    tgt = src @ R.T + [0.1, 0, 0]
+    r = reg.register_pair(src, tgt, "se3_pt2pl", GOLDEN)
+    assert metrics_host.angular_error_so3(
+        r.transformation[:3, :3], R) < 2.0
