@@ -88,10 +88,18 @@ def main():
         assert metrics_host.success(T_gt, r.transformation), (
             "benchmark result failed the 2deg/0.25 success bound")
 
-    t0 = time.time()
-    for _ in range(REPS):
-        par.register_pairs(pair_list, "se3_pt2pl", GOLDEN, mesh=mesh)
-    dt = time.time() - t0
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        import contextlib
+        prof_ctx = jax.profiler.trace(profile_dir)
+    else:
+        import contextlib
+        prof_ctx = contextlib.nullcontext()
+    with prof_ctx:
+        t0 = time.time()
+        for _ in range(REPS):
+            par.register_pairs(pair_list, "se3_pt2pl", GOLDEN, mesh=mesh)
+        dt = time.time() - t0
     pairs_per_s = BATCH * REPS / dt
 
     base = cpu_baseline_pairs_per_s(src, tgt)
