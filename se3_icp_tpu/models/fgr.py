@@ -96,13 +96,13 @@ def _fgr_impl(src, n_src, tgt, n_tgt, cfg):
     tgt = jnp.where(tgt_valid[:, None], tgt, 0.0)
 
     # --- features on ORIGINAL coordinates (reference computes normals +
-    #     FPFH before any normalization)
-    idx_s, d2_s = knn.knn_self(src, max(cfg.fpfh_knn, cfg.normals_knn),
-                               n_src)
-    idx_t, d2_t = knn.knn_self(tgt, max(cfg.fpfh_knn, cfg.normals_knn),
-                               n_tgt)
-    nrm_s = lrf.normals_from_neighbors(src, idx_s[:, :cfg.normals_knn])
-    nrm_t = lrf.normals_from_neighbors(tgt, idx_t[:, :cfg.normals_knn])
+    #     FPFH before any normalization); +1 kNN column so normals use
+    #     the gather-free dense path (see lrf.normals_dense)
+    kw = max(cfg.fpfh_knn, cfg.normals_knn) + 1
+    idx_s, d2_s = knn.knn_self(src, kw, n_src)
+    idx_t, d2_t = knn.knn_self(tgt, kw, n_tgt)
+    nrm_s = lrf.normals_dense(src, d2_s, cfg.normals_knn, n_src)
+    nrm_t = lrf.normals_dense(tgt, d2_t, cfg.normals_knn, n_tgt)
 
     def nb_mask(nq, n_valid, k):
         m = jnp.arange(k)[None, :] < jnp.minimum(n_valid, k)

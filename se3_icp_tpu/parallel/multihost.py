@@ -65,14 +65,21 @@ def register_pairs_multihost(local_pairs, algorithm: str, cfg,
     from se3_icp_tpu.parallel import pairs as par
 
     nproc = jax.process_count()
-    local_max_pts = max(max(len(s), len(t)) for s, t in local_pairs)
+    # a process MAY hold zero pairs (short global lists): it still has
+    # to participate in every collective, so it pads with a dummy pair
+    local_max_pts = (max(max(len(s), len(t)) for s, t in local_pairs)
+                     if local_pairs else 1)
     agreed = multihost_utils.process_allgather(
         np.asarray([local_max_pts, len(local_pairs)], np.int64))
     n_pad = reg._bucket(int(agreed[:, 0].max()), bucket)
     per_proc = int(agreed[:, 1].max())
+    if per_proc == 0:
+        return []
     # pad the local list to the agreed per-process count
     n_real_local = len(local_pairs)
-    pairs_padded = list(local_pairs) + [local_pairs[-1]] * (
+    filler = (local_pairs[-1] if local_pairs
+              else (np.zeros((1, 3)), np.zeros((1, 3))))
+    pairs_padded = list(local_pairs) + [filler] * (
         per_proc - n_real_local)
 
     src = np.zeros((per_proc, n_pad, 3), dtype)
