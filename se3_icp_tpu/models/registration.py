@@ -124,6 +124,8 @@ def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
                     mode: str, variant: str,
                     points_axis: str | None = None,
                     record_history: bool = False):
+    if cfg.anderson_m == 1:
+        raise ValueError("anderson_m must be 0 (off) or >= 2 (window)")
     floats, static_cfg = split_cfg(cfg, src.dtype)
     return _register_arrays_jit(src, n_src, tgt, n_tgt, floats,
                                 cfg=static_cfg, mode=mode,
@@ -354,6 +356,14 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     hist_len = max(cfg.max_num_iterations, cfg.max_num_se3_iterations)
     if record_history:
         state["hist"] = jnp.zeros((hist_len, 4, 4), dtype) + zero_f
+    if cfg.anderson_m:
+        # Anderson-acceleration window buffers (AA-ICP): past iterates
+        # and fixed-point residuals in se(3) twist coordinates
+        m_aa = cfg.anderson_m
+        state["aa_X"] = jnp.zeros((m_aa, 6), dtype) + zero_f
+        state["aa_F"] = jnp.zeros((m_aa, 6), dtype) + zero_f
+        state["aa_n"] = zero_i
+        state["aa_fprev"] = big
 
     def cond(s):
         return ~s["done"]
@@ -428,6 +438,48 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                                    cov_tgt[midx], w, conf)
 
         T_new = T_i @ T
+
+        # --- optional Anderson acceleration of the fixed-point
+        #     iteration T -> G(T) in se(3) twist coordinates (AA-ICP,
+        #     Pavlov et al. 2017; extension beyond the reference).
+        #     Type-II AA with Tikhonov-regularized least squares over
+        #     the window of residual differences; safeguard restarts
+        #     the window whenever the residual norm grows or the
+        #     SE(3)->R3 phase switches (a different fixed-point map).
+        if cfg.anderson_m:
+            m_aa = cfg.anderson_m
+            xi_k = se3.se3_log(T)
+            g_k = se3.se3_log(T_new)
+            f_k = g_k - xi_k
+            fnorm = jnp.linalg.norm(f_k)
+            grew = fnorm > s["aa_fprev"]
+            n_prev = jnp.where(grew, 0, s["aa_n"])
+            Xb = jnp.concatenate([s["aa_X"][1:], xi_k[None]], 0)
+            Fb = jnp.concatenate([s["aa_F"][1:], f_k[None]], 0)
+            dX = Xb[1:] - Xb[:-1]                      # [m-1,6]
+            dF = Fb[1:] - Fb[:-1]
+            # only the last (n_prev) differences belong to the window
+            ok_col = (jnp.arange(m_aa - 1) >= (m_aa - 1) - n_prev)
+            dFm = dF * ok_col[:, None]
+            dXm = dX * ok_col[:, None]
+            A = dFm @ dFm.T                            # [m-1,m-1]
+            lam = (jnp.asarray(1e-10, dtype)
+                   * jnp.maximum(jnp.trace(A), 1.0))
+            A = A + (lam + jnp.asarray(1e-30, dtype)) * jnp.eye(
+                m_aa - 1, dtype=dtype)
+            gamma = jnp.linalg.solve(A, dFm @ f_k)
+            xi_aa = g_k - gamma @ (dXm + dFm)
+            # only accelerate the post-switch (R3 refinement) phase:
+            # the SE(3) phase's fixed-point map changes as the frames
+            # re-weight, and the switch test itself must see parity
+            # step sizes
+            use_aa = (switched & (n_prev >= 1) & ~grew
+                      & jnp.isfinite(xi_aa).all())
+            T_new = jnp.where(use_aa, se3.se3_exp(xi_aa), T_new)
+            aa_updates = dict(
+                aa_X=Xb, aa_F=Fb,
+                aa_n=jnp.minimum(n_prev + 1, m_aa - 1),
+                aa_fprev=fnorm)
         t_change = jnp.linalg.norm(T - T_new)  # ref:cpp:711 Frobenius
 
         # --- phase switch / stopping (ref:cpp:718-729)
@@ -463,6 +515,14 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
             switched=keep(s["switched"], new_switched),
             done=done_before | new_done,
         )
+        if cfg.anderson_m:
+            # restart the window when the phase switches (new fixed
+            # point); buffers are in the PREPROCESSED frame, consistent
+            # across iterations of one phase
+            aa_updates["aa_n"] = jnp.where(new_switched != switched,
+                                           0, aa_updates["aa_n"])
+            for k_aa, v_aa in aa_updates.items():
+                out[k_aa] = keep(s[k_aa], v_aa)
         if record_history:
             # per-iteration accumulated transform (estimated_history_,
             # ref:cpp:538); masked writes keep finished pairs' tails

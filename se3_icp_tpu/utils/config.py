@@ -67,6 +67,11 @@ class RegistrationConfig:
     # normals kNN: Open3D EstimateNormals default KNN(30); GICP init uses 20
     normals_knn: int = 30
     gicp_normals_knn: int = 20
+    # Anderson acceleration window (AA-ICP, Pavlov et al. 2017,
+    # arxiv 1709.05479): 0 = off (reference-parity iteration dynamics);
+    # 3-5 typically halves the iteration count.  Extension beyond the
+    # reference, opt-in.
+    anderson_m: int = 0
 
     def replace(self, **kw) -> "RegistrationConfig":
         return dataclasses.replace(self, **kw)

@@ -158,3 +158,51 @@ def T_inverse(T):
     t = T[..., :3, 3]
     Rt = R.mT
     return rt_to_T(Rt, -(Rt @ t[..., None])[..., 0])
+
+
+def se3_exp(xi):
+    """[...,6] twist (w, v) -> [...,4,4] rigid transform.
+
+    t = V(w) v with the standard left-Jacobian V; exact small-angle
+    limit V -> I."""
+    xi = jnp.asarray(xi)
+    dtype = xi.dtype
+    w, v = xi[..., :3], xi[..., 3:]
+    R = so3_exp(w)
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    small = theta < jnp.asarray(1e-6, dtype)
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
+    K = skew(w / jnp.squeeze(safe, -1))
+    A = (1.0 - jnp.cos(safe)) / (safe * safe) * safe  # (1-cos)/theta
+    B = (safe - jnp.sin(safe)) / (safe * safe)        # (th-sin)/th^2
+    eye = jnp.eye(3, dtype=dtype)
+    V = eye + A * K + B * safe * (K @ K)
+    V = jnp.where(small, eye + 0.5 * skew(w), V)
+    t = jnp.einsum("...ij,...j->...i", V, v)
+    T = jnp.zeros(xi.shape[:-1] + (4, 4), dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    return T.at[..., 3, 3].set(1.0)
+
+
+def se3_log(T):
+    """[...,4,4] rigid transform -> [...,6] twist (w, v): inverse of
+    ``se3_exp`` (v = V(w)^-1 t)."""
+    T = jnp.asarray(T)
+    dtype = T.dtype
+    w = so3_log_vee(T[..., :3, :3])
+    t = T[..., :3, 3]
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    small = theta < jnp.asarray(1e-6, dtype)
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
+    K = skew(w / jnp.squeeze(safe, -1))
+    half = 0.5 * safe
+    # V^-1 = I - th/2 K + (1 - th/2 * cot(th/2)) K^2
+    cot = jnp.cos(half) / jnp.sin(jnp.where(small, jnp.ones_like(half),
+                                            half))
+    coef = 1.0 - half * cot
+    eye = jnp.eye(3, dtype=dtype)
+    Vinv = eye - half * K + coef * (K @ K)
+    Vinv = jnp.where(small, eye - 0.5 * skew(w), Vinv)
+    v = jnp.einsum("...ij,...j->...i", Vinv, t)
+    return jnp.concatenate([w, v], axis=-1)

@@ -172,3 +172,27 @@ def test_estimated_history():
                            record_history=True)
     np.testing.assert_allclose(r2.history[-1], r2.transformation,
                                atol=1e-5)
+
+
+def test_anderson_acceleration_optional():
+    """AA-ICP (anderson_m >= 2) is opt-in and experimental: default 0
+    preserves reference-parity dynamics; enabled, it must still satisfy
+    the success thresholds (iteration-count effects are regime-
+    dependent: long R3 refinements can shorten, short runs are ~even)."""
+    import numpy as np
+    import pytest
+    from se3_icp_tpu.datasets import synthetic
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.utils import metrics
+    from se3_icp_tpu.utils.config import GOLDEN
+
+    p = synthetic.synthetic_problem("moderate", 0.005, seed=11)
+    base = reg.register_pair(p.source, p.target, "se3_pt2pl", GOLDEN)
+    for m in (3, 5):
+        r = reg.register_pair(p.source, p.target, "se3_pt2pl",
+                              GOLDEN.replace(anderson_m=m))
+        assert bool(metrics.success(p.T_gt, r.transformation))
+    assert bool(metrics.success(p.T_gt, base.transformation))
+    with pytest.raises(ValueError):
+        reg.register_pair(p.source, p.target, "se3_pt2pl",
+                          GOLDEN.replace(anderson_m=1))

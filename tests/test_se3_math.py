@@ -117,3 +117,22 @@ def test_error_filterreg(rng):
     T_est = np.asarray(se3.rt_to_T(np.eye(3), np.array([1.0, 0, 0])))
     err = float(metrics.error_filterreg(pts, T_gt, T_est))
     np.testing.assert_allclose(err, 1.0, atol=1e-12)
+
+
+def test_se3_exp_log_roundtrip():
+    import jax.numpy as jnp
+    from se3_icp_tpu.utils import se3
+
+    rng = np.random.default_rng(5)
+    for scale in (1e-9, 1e-4, 0.1, 1.0, 3.0):
+        xi = rng.normal(scale=scale, size=(8, 6))
+        T = se3.se3_exp(jnp.asarray(xi))
+        xi2 = se3.se3_log(T)
+        T2 = se3.se3_exp(xi2)
+        np.testing.assert_allclose(np.asarray(T2), np.asarray(T),
+                                   atol=1e-9)
+        # valid rigid transforms
+        R = np.asarray(T)[:, :3, :3]
+        np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
+                                   np.tile(np.eye(3), (8, 1, 1)),
+                                   atol=1e-12)
