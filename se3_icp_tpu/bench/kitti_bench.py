@@ -32,7 +32,11 @@ def load_kitti(folder: str, max_index=1100, step=2):
 
 
 def benchmark_kitti(algorithm: str, folder: str, rot_alpha=3.0, mesh=None,
-                    checkpoint=None, dtype=np.float32, max_index=1100):
+                    checkpoint=None, dtype=np.float32, max_index=1100,
+                    save_traj=None):
+    """``save_traj``: optional path; writes the estimated ABSOLUTE
+    trajectory (accumulated scan-to-scan transforms, one 12-number row
+    per kept frame, same format as 07.txt) for ``eval-traj``."""
     clouds, poses = load_kitti(folder, max_index)
     # source = cloud[i+1], target = cloud[i] (:130-131)
     pairs = [(clouds[i + 1], clouds[i]) for i in range(len(clouds) - 1)]
@@ -42,6 +46,7 @@ def benchmark_kitti(algorithm: str, folder: str, rot_alpha=3.0, mesh=None,
                                 checkpoint=checkpoint, dtype=dtype)
 
     rel_rot, rel_tra, abs_rot, abs_tra, times = [], [], [], [], []
+    traj = [np.eye(4)]
     T_acc = np.eye(4)
     for i in range(len(pairs)):
         o = outcomes[i]
@@ -51,11 +56,14 @@ def benchmark_kitti(algorithm: str, folder: str, rot_alpha=3.0, mesh=None,
         rel_tra.append(metrics_host.translation_error(
             o.T_est[:3, 3], gt[:3, 3]))
         T_acc = T_acc @ o.T_est
+        traj.append(T_acc)
         abs_rot.append(metrics_host.angular_error_so3(
             T_acc[:3, :3], poses[i + 1][:3, :3]))
         abs_tra.append(metrics_host.translation_error(
             T_acc[:3, 3], poses[i + 1][:3, 3]))
         times.append(o.wall_ms)
+    if save_traj:
+        ply.write_trajectory_12col(save_traj, np.asarray(traj))
     report = {
         "algorithm": algorithm,
         "num_pairs": len(pairs),

@@ -175,7 +175,7 @@ def cmd_bench_kitti(args):
     rep = kitti_bench.benchmark_kitti(
         args.algorithm, args.folder, rot_alpha=args.rot_alpha,
         checkpoint=args.checkpoint, dtype=np.dtype(args.dtype),
-        max_index=args.max_index)
+        max_index=args.max_index, save_traj=args.save_traj)
     if args.json:
         print(json.dumps(rep))
 
@@ -269,6 +269,10 @@ def build_parser():
             p.add_argument("--noise", type=float, default=0.005)
         if name == "bench-kitti":
             p.add_argument("--max-index", type=int, default=1100)
+            p.add_argument("--save-traj", default=None,
+                           help="write the estimated absolute "
+                                "trajectory (12-col rows; feed to "
+                                "eval-traj)")
         # every benchmark can generate its own (synthetic stand-in)
         # dataset in the reference's on-disk layout
         p.add_argument("--generate", action="store_true")
