@@ -89,10 +89,15 @@ def run_pairs(pair_list, algorithm: str, cfg: RegistrationConfig,
     for lo in range(0, len(todo), chunk):
         sel = todo[lo:lo + chunk]
         batch = [pair_list[i] for i in sel]
+        # pad the tail batch to the chunk size (repeat the last pair):
+        # a smaller final batch is a new shape and recompiles the whole
+        # program for a few stragglers
+        n_real = len(batch)
+        batch = batch + [batch[-1]] * (chunk - n_real)
         t0 = time.time()
         results = par.register_pairs(batch, algorithm, cfg, mesh=mesh,
-                                     dtype=dtype)
-        wall = (time.time() - t0) * 1e3 / len(sel)
+                                     dtype=dtype)[:n_real]
+        wall = (time.time() - t0) * 1e3 / n_real
         for i, r in zip(sel, results):
             ck.add(PairOutcome(i, r.transformation, r.num_iterations,
                                r.num_pure_se3_iterations, wall))
