@@ -84,7 +84,10 @@ def run_pairs(pair_list, algorithm: str, cfg: RegistrationConfig,
     if mesh is None and jax.device_count() > 1:
         mesh = par.default_mesh()
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
-    chunk = chunk or max(ndev, min(32, len(todo)))
+    # size batches from the FULL pair list (not the resume remainder):
+    # a checkpoint resume with 3 leftover pairs should reuse the
+    # full-run batch shape, not compile a fresh 3-pair program
+    chunk = chunk or max(ndev, min(32, len(pair_list)))
     chunk = -(-chunk // ndev) * ndev
     for lo in range(0, len(todo), chunk):
         sel = todo[lo:lo + chunk]
