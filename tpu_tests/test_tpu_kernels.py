@@ -31,3 +31,26 @@ def test_golden_problem_on_tpu():
         res.transformation[:3, :3], T_gt[:3, :3]))
     tra = float(np.linalg.norm(res.transformation[:3, 3] - T_gt[:3, 3]))
     assert so3 < 0.1 and tra < 0.05, (so3, tra)
+
+
+def test_golden_accuracy_on_tpu():
+    """Full se3_pt2pl registration of the committed golden problem on
+    the real accelerator (f32, approx top-k): must be far inside the
+    reference's 2 deg / 0.25 success bounds."""
+    import numpy as np
+
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.utils import metrics_host, ply
+    from se3_icp_tpu.utils.config import GOLDEN
+
+    base = "/root/reference/created_example_reg_problem"
+    src = ply.read_ply(base + "/source.ply").points
+    tgt = ply.read_ply(base + "/target.ply").points
+    T_gt = ply.read_transform_txt(base + "/transformation_gt.txt")
+    r = reg.register_pair(src, tgt, "se3_pt2pl", GOLDEN)
+    rot = metrics_host.angular_error_so3(r.transformation[:3, :3],
+                                         T_gt[:3, :3])
+    tra = metrics_host.translation_error(r.transformation[:3, 3],
+                                         T_gt[:3, 3])
+    assert rot < 0.01, rot
+    assert tra < 0.001, tra
