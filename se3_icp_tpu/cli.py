@@ -210,6 +210,36 @@ def cmd_test_se3_pure(args):
               f"avg_eul_angle_error = {eul}")
 
 
+def cmd_lrf_quality(args):
+    """cc::evaluate_LRF_quality as a diagnostic command: TOLDI frames
+    on both clouds, GT correspondences, mean SO(3) error between
+    GT-rotated source LRFs and matched target LRFs (ref:cc:63-114);
+    --dump writes per-pair errors like the reference's file output."""
+    import jax.numpy as jnp
+    from se3_icp_tpu.ops import lrf
+    from se3_icp_tpu.utils import metrics, ply
+    src = ply.read_ply(args.source).points
+    tgt = ply.read_ply(args.target).points
+    T_gt = ply.read_transform_txt(args.gt)
+    k = args.lrf_k
+    rot_s, _ = lrf.toldi_frames(jnp.asarray(src), k)
+    rot_t, _ = lrf.toldi_frames(jnp.asarray(tgt), k)
+    corr = metrics.compute_corrs_with_gt(src, tgt, T_gt)
+    src_R = jnp.asarray(T_gt[:3, :3]) @ rot_s[corr[:, 0]]
+    tgt_R = rot_t[corr[:, 1]]
+    errs = np.asarray(metrics.angular_error_so3_alt(src_R, tgt_R))
+    print(f"num correspondences = {len(errs)}")
+    print(f"mean LRF SO3 error  = {errs.mean():.6f} deg")
+    print(f"median LRF SO3 error = {np.median(errs):.6f} deg")
+    if args.dump:
+        np.savetxt(args.dump, errs, fmt="%.8f")
+        print(f"per-correspondence errors written to {args.dump}")
+    if args.json:
+        print(json.dumps({"mean_lrf_so3_error": float(errs.mean()),
+                          "median_lrf_so3_error": float(np.median(errs)),
+                          "num_corrs": int(len(errs))}))
+
+
 def cmd_eval_traj(args):
     from se3_icp_tpu.utils import metrics, ply
     gt = ply.read_trajectory_12col(args.gt)
@@ -295,6 +325,18 @@ def build_parser():
     p.add_argument("est")
     _add_common(p)
     p.set_defaults(fn=cmd_eval_traj)
+
+    p = sub.add_parser("lrf-quality",
+                       help="LRF rotational-consistency diagnostic "
+                            "(cc::evaluate_LRF_quality)")
+    p.add_argument("source")
+    p.add_argument("target")
+    p.add_argument("gt", help="4x4 ground-truth transform file")
+    p.add_argument("--lrf-k", type=int, default=90)
+    p.add_argument("--dump", default=None,
+                   help="write per-correspondence errors to a file")
+    _add_common(p)
+    p.set_defaults(fn=cmd_lrf_quality)
     return ap
 
 
