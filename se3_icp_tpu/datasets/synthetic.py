@@ -143,3 +143,23 @@ def load_problem_folder(folder: str) -> list[RegistrationProblem]:
             ply.read_ply(sp).points, ply.read_ply(tp).points, gt[i]))
         i += 1
     return out
+
+
+def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Open3D ``VoxelDownSample`` semantics (dormant in the reference:
+    commented out at registration_example.cpp:18): bucket points into a
+    regular grid anchored at the min bound, return per-voxel centroids.
+    Host-side preprocessing (like all dataset construction here)."""
+    pts = np.asarray(points, dtype=np.float64)
+    if voxel_size <= 0:
+        raise ValueError("voxel_size must be positive")
+    idx = np.floor((pts - pts.min(axis=0)) / voxel_size).astype(np.int64)
+    # linearize 3-D voxel coordinates for grouping
+    dims = idx.max(axis=0) + 1
+    lin = (idx[:, 0] * dims[1] + idx[:, 1]) * dims[2] + idx[:, 2]
+    order = np.argsort(lin, kind="stable")
+    lin_sorted = lin[order]
+    starts = np.flatnonzero(np.r_[True, lin_sorted[1:] != lin_sorted[:-1]])
+    sums = np.add.reduceat(pts[order], starts, axis=0)
+    counts = np.diff(np.r_[starts, len(lin_sorted)])
+    return sums / counts[:, None]

@@ -558,6 +558,15 @@ def _bucket(n: int, quantum: int = 512) -> int:
     return max(quantum, -(-n // quantum) * quantum)
 
 
+def sanitize_cloud(points) -> np.ndarray:
+    """Drop non-finite rows host-side: a single NaN point would poison
+    every distance-matrix row it appears in (the reference would feed
+    it to FLANN with similar garbage-out).  Returns [M,3] float64."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    mask = np.isfinite(pts).all(axis=1)
+    return pts[mask]
+
+
 def register_pair(source_points, target_points, algorithm: str = "se3_pt2pl",
                   cfg: RegistrationConfig | None = None,
                   dtype=jnp.float32,
@@ -566,8 +575,8 @@ def register_pair(source_points, target_points, algorithm: str = "se3_pt2pl",
     (pt2pt/pt2pl/gicp, se3_*, se3_gicp_with_cf, se3_pure_*)."""
     mode, variant = parse_algorithm(algorithm)
     cfg = cfg or RegistrationConfig()
-    src = np.asarray(source_points, dtype=np.float64)
-    tgt = np.asarray(target_points, dtype=np.float64)
+    src = sanitize_cloud(source_points)
+    tgt = sanitize_cloud(target_points)
     ns, nt = len(src), len(tgt)
     src_p = np.zeros((_bucket(ns), 3), dtype)
     src_p[:ns] = src

@@ -121,7 +121,10 @@ def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
 
 def pack_pairs(pairs, dtype=np.float32, bucket: int = 512):
     """Host-side packing: list of (src_pts, tgt_pts) -> padded batch
-    arrays (src [P,Ns,3], n_src [P], tgt [P,Nt,3], n_tgt [P])."""
+    arrays (src [P,Ns,3], n_src [P], tgt [P,Nt,3], n_tgt [P]).
+    Non-finite points are dropped (see registration.sanitize_cloud)."""
+    pairs = [(reg.sanitize_cloud(s), reg.sanitize_cloud(t))
+             for s, t in pairs]
     ns_max = reg._bucket(max(len(s) for s, _ in pairs), bucket)
     nt_max = reg._bucket(max(len(t) for _, t in pairs), bucket)
     p = len(pairs)

@@ -64,3 +64,27 @@ def test_redwood_log_roundtrip(tmp_path, rng):
     ids2, mats2 = ply.read_redwood_log(p)
     np.testing.assert_array_equal(ids2, ids)
     np.testing.assert_allclose(mats2, mats, atol=1e-8)
+
+
+def test_voxel_downsample():
+    from se3_icp_tpu.datasets import synthetic
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1, size=(5000, 3))
+    out = synthetic.voxel_downsample(pts, 0.25)
+    # 4x4x4 grid fully occupied at this density
+    assert out.shape == (64, 3)
+    # each centroid lies inside its voxel
+    idx = np.floor((out - pts.min(axis=0)) / 0.25)
+    assert (idx >= 0).all() and (idx <= 3).all()
+    # centroid property: mean of all points is preserved under
+    # count-weighted recombination
+    counts = []
+    for v in idx:
+        sel = np.all(np.floor((pts - pts.min(axis=0)) / 0.25) == v, axis=1)
+        counts.append(sel.sum())
+        np.testing.assert_allclose(out[len(counts)-1], pts[sel].mean(axis=0))
+    assert sum(counts) == len(pts)
+    import pytest
+    with pytest.raises(ValueError):
+        synthetic.voxel_downsample(pts, 0.0)

@@ -196,3 +196,46 @@ def test_anderson_acceleration_optional():
     with pytest.raises(ValueError):
         reg.register_pair(p.source, p.target, "se3_pt2pl",
                           GOLDEN.replace(anderson_m=1))
+
+
+def test_nonfinite_points_dropped():
+    """NaN/inf rows in input clouds are dropped host-side instead of
+    poisoning the distance matrices."""
+    import numpy as np
+    from se3_icp_tpu.datasets import synthetic
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.utils import metrics
+    from se3_icp_tpu.utils.config import GOLDEN
+
+    p = synthetic.synthetic_problem("easy", 0.002, seed=77)
+    src = np.concatenate([p.source, [[np.nan, 0, 0], [np.inf, 1, 1]]])
+    tgt = np.concatenate([[[0, np.nan, 0]], p.target])
+    r = reg.register_pair(src, tgt, "se3_pt2pl", GOLDEN)
+    assert np.isfinite(r.transformation).all()
+    assert bool(metrics.success(p.T_gt, r.transformation))
+
+
+def test_rigid_equivariance_e2e():
+    """Rigid pre-transform of the SOURCE composes through the result:
+    register(Q(src), tgt) ~= register(src, tgt) . Q^-1 (up to the
+    algorithm's own convergence tolerance)."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+    from se3_icp_tpu.datasets import synthetic
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.utils import metrics_host
+    from se3_icp_tpu.utils.config import GOLDEN
+
+    p = synthetic.synthetic_problem("easy", 0.002, seed=88)
+    Q = np.eye(4)
+    Q[:3, :3] = Rotation.from_euler("xyz", [0.2, -0.1, 0.15]).as_matrix()
+    Q[:3, 3] = (0.5, -1.0, 2.0)
+    r1 = reg.register_pair(p.source, p.target, "se3_pt2pl", GOLDEN)
+    src_q = p.source @ Q[:3, :3].T + Q[:3, 3]
+    r2 = reg.register_pair(src_q, p.target, "se3_pt2pl", GOLDEN)
+    T_expected = r1.transformation @ np.linalg.inv(Q)
+    rot = metrics_host.angular_error_so3(r2.transformation[:3, :3],
+                                         T_expected[:3, :3])
+    tra = metrics_host.translation_error(r2.transformation[:3, 3],
+                                         T_expected[:3, 3])
+    assert rot < 0.5 and tra < 0.05, (rot, tra)
