@@ -247,10 +247,13 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         # model-parallel setup: each device runs the kNN for its row
         # slice of queries against the full (replicated) cloud; results
         # below are all_gathered back to full per-point arrays (small)
-        idx_src = (knn.knn_topk(_my_rows(src_c, points_axis), src_c,
-                                k_src, n_src)[0] if k_src else None)
-        idx_tgt = (knn.knn_topk(_my_rows(tgt_c, points_axis), tgt_c,
-                                k_tgt, n_tgt)[0] if k_tgt else None)
+        idx_src = d2_src = idx_tgt = d2_tgt = None
+        if k_src:
+            idx_src, d2_src = knn.knn_topk(
+                _my_rows(src_c, points_axis), src_c, k_src, n_src)
+        if k_tgt:
+            idx_tgt, d2_tgt = knn.knn_topk(
+                _my_rows(tgt_c, points_axis), tgt_c, k_tgt, n_tgt)
 
     # --- SE(3) frames + alpha/beta weighting (ref:cpp:586-626)
     if is_se3:
@@ -267,10 +270,19 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                 rot_t0, _ = lrf.toldi_frames_dense(
                     tgt_c, d2_tgt[:, :klrf], n_tgt)
             else:
-                rot_s0, _ = lrf.toldi_frames_from_neighbors(
-                    src_c, idx_src[:, :klrf])
-                rot_t0, _ = lrf.toldi_frames_from_neighbors(
-                    tgt_c, idx_tgt[:, :klrf])
+                # row-sliced dense variant: same masked-matmul math on
+                # this device's query slice, then gather the frames
+                rank = jax.lax.axis_index(points_axis)
+                off_s = rank * (ns // jax.lax.psum(1, points_axis))
+                off_t = rank * (nt // jax.lax.psum(1, points_axis))
+                rot_s0, _ = lrf.toldi_frames_dense(
+                    src_c, d2_src[:, :klrf], n_src,
+                    queries=_my_rows(src_c, points_axis),
+                    row_offset=off_s)
+                rot_t0, _ = lrf.toldi_frames_dense(
+                    tgt_c, d2_tgt[:, :klrf], n_tgt,
+                    queries=_my_rows(tgt_c, points_axis),
+                    row_offset=off_t)
                 rot_s0 = _gather_rows(rot_s0, points_axis)
                 rot_t0 = _gather_rows(rot_t0, points_axis)
         else:  # SHOT LRF (dormant alternative in the reference, C4)

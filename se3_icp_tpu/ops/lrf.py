@@ -117,7 +117,21 @@ def toldi_frames_from_neighbors(points, idx, exact_centroid: bool = False):
 @functools.partial(jax.jit,
                    static_argnames=("exact_centroid", "chunk"))
 def toldi_frames_dense(points, d2sorted, n_valid=None,
-                       exact_centroid: bool = False, chunk: int = 1024):
+                       exact_centroid: bool = False, chunk: int = 1024,
+                       queries=None, row_offset=None):
+    """See the docstring below.  ``queries``/``row_offset``: optional
+    row SLICE of ``points`` (model-parallel setup) -- queries are the
+    slice, ``row_offset`` its starting global row, so self-exclusion
+    still matches ``col != global_row``.  ``d2sorted`` then has one row
+    per query."""
+    return _toldi_frames_dense_impl(points, d2sorted, n_valid,
+                                    exact_centroid, chunk, queries,
+                                    row_offset)
+
+
+def _toldi_frames_dense_impl(points, d2sorted, n_valid,
+                             exact_centroid, chunk, queries_slice,
+                             row_offset):
     """Gather-free TOLDI: identical math to
     ``toldi_frames_from_neighbors`` but every neighborhood reduction is
     a masked [C,N]x[N,*] matmul instead of a [N,k,3] row gather.
@@ -149,9 +163,17 @@ def toldi_frames_dense(points, d2sorted, n_valid=None,
     # outer products p p^T flattened once: Sum_j m_ij p_j p_j^T by matmul
     P9 = (points[:, :, None] * points[:, None, :]).reshape(n, 9)
 
-    pad = (-n) % chunk
-    qs = jnp.pad(points, ((0, pad), (0, 0)))
-    qis = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad))
+    if queries_slice is None:
+        queries_slice = points
+        gidx = jnp.arange(n, dtype=jnp.int32)
+    else:
+        off = jnp.asarray(0 if row_offset is None else row_offset,
+                          jnp.int32)
+        gidx = off + jnp.arange(queries_slice.shape[0], dtype=jnp.int32)
+    nq = queries_slice.shape[0]
+    pad = (-nq) % chunk
+    qs = jnp.pad(queries_slice, ((0, pad), (0, 0)))
+    qis = jnp.pad(gidx, (0, pad))
     d2s = jnp.pad(d2sorted, ((0, pad), (0, 0)))
     col = jnp.arange(n, dtype=jnp.int32)
 
@@ -214,7 +236,7 @@ def toldi_frames_dense(points, d2sorted, n_valid=None,
     rot = jax.lax.map(one, (qs.reshape(-1, chunk, 3),
                             qis.reshape(-1, chunk),
                             d2s.reshape(-1, chunk, k)))
-    return rot.reshape(-1, 3, 3)[:n], points
+    return rot.reshape(-1, 3, 3)[:nq], queries_slice
 
 
 @functools.partial(jax.jit, static_argnames=("max_k",))
