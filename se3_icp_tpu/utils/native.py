@@ -26,6 +26,18 @@ _CANDIDATES = [
 ]
 
 
+def _try_build() -> None:
+    """Build the library in place if the toolchain is present (a fresh
+    checkout has no .so; without this, every PLY read silently took the
+    numpy fallback).  Failures are non-fatal -- the fallback remains."""
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", os.path.join(_HERE, "native")],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
@@ -33,6 +45,8 @@ def _load():
     _TRIED = True
     if os.environ.get("SE3_ICP_TPU_NO_NATIVE"):
         return None
+    if not any(os.path.exists(c) for c in _CANDIDATES):
+        _try_build()
     for cand in _CANDIDATES:
         if os.path.exists(cand):
             try:

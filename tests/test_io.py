@@ -88,3 +88,37 @@ def test_voxel_downsample():
     import pytest
     with pytest.raises(ValueError):
         synthetic.voxel_downsample(pts, 0.0)
+
+
+def test_native_io_builds_and_matches_fallback(tmp_path):
+    """The C++ host-IO library auto-builds on first use (fresh checkouts
+    have no .so) and reads byte-identically to the numpy fallback."""
+    import subprocess
+    import sys
+
+    code = r'''
+import sys, os, numpy as np
+sys.path.insert(0, sys.argv[1])
+from se3_icp_tpu.utils import native, ply
+assert native.available(), "native lib did not auto-build"
+p = sys.argv[2]
+a = ply.read_ply(p).points
+os.environ["SE3_ICP_TPU_NO_NATIVE"] = "1"
+import importlib; importlib.reload(native)
+b = ply.read_ply(p).points
+assert np.array_equal(a, b), "native vs fallback mismatch"
+print("NATIVE_OK")
+'''
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(repo, "native", "libse3io.so")
+    # exercise the auto-build: remove the artifact first
+    if os.path.exists(so):
+        os.remove(so)
+    ply_path = os.path.join(
+        "/root/reference/created_example_reg_problem", "source.ply")
+    out = subprocess.run([sys.executable, "-c", code, repo, ply_path],
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "NATIVE_OK" in out.stdout
+    assert os.path.exists(so)
