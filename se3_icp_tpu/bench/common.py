@@ -50,7 +50,13 @@ class Checkpoint:
         if path and os.path.exists(path):
             with open(path) as f:
                 for line in f:
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        # a run killed mid-write leaves a truncated
+                        # final line; the whole point of the checkpoint
+                        # is surviving that -- skip and recompute it
+                        continue
                     self.done[rec["index"]] = PairOutcome(
                         rec["index"], np.asarray(rec["T_est"]),
                         rec["num_iterations"],

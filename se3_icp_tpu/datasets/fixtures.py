@@ -42,8 +42,9 @@ def _scene(rng: np.random.Generator, n: int, kind: str) -> np.ndarray:
             rng.uniform(-30, 30, n // 2), rng.uniform(-10, 10, n // 2),
             rng.normal(-1.6, 0.05, n // 2)])
         m = n - n // 2
+        n_centers = max(-(-m // 25), 1)  # ceil: repeat covers all m rows
         posts = rng.normal(0, 1, (m, 3)) * (1.5, 1.5, 2.0) + np.repeat(
-            rng.uniform((-25, -8, 0), (25, 8, 1), (max(m // 25, 1), 3)),
+            rng.uniform((-25, -8, 0), (25, 8, 1), (n_centers, 3)),
             25, axis=0)[:m]
         pts = np.concatenate([ground, posts])
     # surface jitter so clouds are not perfectly planar

@@ -227,11 +227,12 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     #     sort dominates setup cost on TPU, so never run it twice
     need_tgt_nrm = eff_variant == "pt2pl"
     need_cov = eff_variant == "gicp"
-    k_src = (max(cfg.number_of_nn_for_lrf, cfg.gicp_normals_knn)
-             if (is_se3 and need_cov) else
-             cfg.number_of_nn_for_lrf if is_se3 else
-             cfg.gicp_normals_knn if need_cov else 0)
-    k_tgt = max(cfg.number_of_nn_for_lrf if is_se3 else 0,
+    # the LRF contributes to the kNN width only for TOLDI (SHOT uses its
+    # own radius search and would leave a full-width sorted kNN unused)
+    k_lrf = (cfg.number_of_nn_for_lrf
+             if (is_se3 and cfg.lrf_method == "toldi") else 0)
+    k_src = max(k_lrf, cfg.gicp_normals_knn if need_cov else 0)
+    k_tgt = max(k_lrf,
                 cfg.normals_knn if need_tgt_nrm else 0,
                 cfg.gicp_normals_knn if need_cov else 0)
     if points_axis is None:

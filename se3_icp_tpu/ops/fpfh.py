@@ -51,12 +51,14 @@ def pair_features(p1, n1, p2, n2):
     dsafe = jnp.maximum(d, eps)[..., None]
     angle1 = jnp.sum(n1 * dp, axis=-1) / dsafe[..., 0]
     angle2 = jnp.sum(n2 * dp, axis=-1) / dsafe[..., 0]
-    # acos(|a1|) > acos(|a2|)  <=>  |a1| < |a2|: swap roles
+    # acos(|a1|) > acos(|a2|)  <=>  |a1| < |a2|: swap roles.  In the
+    # swapped branch Open3D sets f3 = -angle2 (the direction vector is
+    # negated along with the role swap, Feature.cpp ComputePairFeatures)
     swap = jnp.abs(angle1) < jnp.abs(angle2)
     n1c = jnp.where(swap[..., None], n2, n1)
     n2c = jnp.where(swap[..., None], n1, n2)
     dpc = jnp.where(swap[..., None], -dp, dp)
-    f3 = jnp.where(swap, angle2, angle1)
+    f3 = jnp.where(swap, -angle2, angle1)
 
     v = jnp.cross(dpc, n1c)
     vn = jnp.linalg.norm(v, axis=-1)

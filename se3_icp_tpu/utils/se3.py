@@ -133,7 +133,6 @@ def so3_log_vee(R):
     s12 = R[..., 1, 2] + R[..., 2, 1]
     # pick the largest component positive, fix the others' signs from it
     i_max = jnp.argmax(n, axis=-1)
-    sign = jnp.ones_like(n)
     off = jnp.stack([
         jnp.stack([jnp.ones_like(s01), s01, s02], -1),
         jnp.stack([s01, jnp.ones_like(s01), s12], -1),

@@ -28,7 +28,7 @@ def _pair_features_oracle(p1, n1, p2, n2):
     if np.arccos(abs(a1)) > np.arccos(abs(a2)):
         n1, n2 = n2, n1
         dp = -dp
-        f3 = a2
+        f3 = -a2  # Open3D negates in the swapped branch
     else:
         f3 = a1
     v = np.cross(dp, n1)
