@@ -139,18 +139,44 @@ def pack_pairs(pairs, dtype=np.float32, bucket: int = 512):
     return src, n_src, tgt, n_tgt
 
 
+class PendingBatch:
+    """In-flight batch registration (async dispatch).
+
+    Holds the device arrays of a dispatched batch program; ``result()``
+    blocks on ONE fused device->host fetch and builds the
+    RegistrationResult list.  Lets a serving loop pack/dispatch batch
+    N+1 while the device still runs batch N (the device queue executes
+    in order), hiding host packing and the tunnel round trip behind
+    compute -- see examples/streaming_registration.py and bench.py.
+    """
+
+    def __init__(self, out, n_pairs):
+        self._out = out
+        self._n = n_pairs
+
+    def result(self):
+        T, it, pure = jax.device_get(self._out)  # one host round trip
+        T = np.asarray(T, np.float64)
+        return [reg.RegistrationResult(T[i], int(it[i]), int(pure[i]))
+                for i in range(self._n)]
+
+
+def register_pairs_async(pairs, algorithm: str, cfg: RegistrationConfig,
+                         mesh: Mesh | None = None,
+                         dtype=np.float32) -> PendingBatch:
+    """Pack + dispatch a batch without blocking on the results."""
+    if mesh is None and jax.device_count() > 1:
+        mesh = default_mesh()
+    src, n_src, tgt, n_tgt = pack_pairs(pairs, dtype)
+    out = register_batch(jnp.asarray(src), jnp.asarray(n_src),
+                         jnp.asarray(tgt), jnp.asarray(n_tgt),
+                         cfg, algorithm, mesh)
+    return PendingBatch(out, len(pairs))
+
+
 def register_pairs(pairs, algorithm: str, cfg: RegistrationConfig,
                    mesh: Mesh | None = None, dtype=np.float32):
     """High-level: list of (src, tgt) numpy clouds -> list of
     RegistrationResult, sharded over ``mesh`` (default: all devices)."""
-    if mesh is None and jax.device_count() > 1:
-        mesh = default_mesh()
-    src, n_src, tgt, n_tgt = pack_pairs(pairs, dtype)
-    T, it, pure = register_batch(jnp.asarray(src), jnp.asarray(n_src),
-                                 jnp.asarray(tgt), jnp.asarray(n_tgt),
-                                 cfg, algorithm, mesh)
-    T = np.asarray(T, np.float64)
-    it = np.asarray(it)
-    pure = np.asarray(pure)
-    return [reg.RegistrationResult(T[i], int(it[i]), int(pure[i]))
-            for i in range(len(pairs))]
+    return register_pairs_async(pairs, algorithm, cfg, mesh,
+                                dtype).result()
