@@ -309,6 +309,20 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     # 3-D euclidean NN through the same kernel
     tgt_embed_B = _embed12(jnp.zeros((nt, 3, 3), dtype), tgt_c)
 
+    # --- per-target payload for the fused NN+gather (ops.knn.nn_match):
+    #     everything the loop body needs FROM the matched target row is
+    #     packed into columns once, so the body never does a scalar-bound
+    #     random row gather (measured ~13 ms/iter at 64x4608 on v5e)
+    _pay_parts = [tgt_c]
+    _pay_off = {"tgt_c": 0}
+    _off = 3
+
+    def _pay_add(name, arr, width):
+        nonlocal _off
+        _pay_parts.append(arr)
+        _pay_off[name] = _off
+        _off += width
+
     # --- variant-specific preparation (prefix slices of the shared kNN)
     tgt_normals = cov_src0 = cov_tgt = None
     if eff_variant == "pt2pl":
@@ -336,6 +350,16 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                 cfg.gicp_epsilon)
             cov_src0 = _gather_rows(cov_src0, points_axis)
             cov_tgt = _gather_rows(cov_tgt, points_axis)
+
+    if is_se3:
+        _pay_add("tr_beta", tgt_tr_beta, 3)
+    if eff_variant == "pt2pl":
+        _pay_add("normals", tgt_normals, 3)
+    elif eff_variant == "gicp":
+        _pay_add("cov", cov_tgt.reshape(nt, 9), 9)
+        if use_cf:
+            _pay_add("conf_t", conf_tgt[:, None], 1)
+    payload = jnp.concatenate(_pay_parts, axis=-1)       # [Nt, P]
 
     # --- loop limits per mode
     if mode == "icp":
@@ -405,19 +429,24 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
             q = _embed12(jnp.zeros((ns, 3, 3), dtype), src_moving)
             e = tgt_embed_B
         if points_axis is None:
-            midx, _ = knn.nn_argmin(q, e, n_tgt)
+            # fused search + matched-row payload: no index gathers in
+            # the hot loop (see knn.nn_match)
+            midx, _, matched = knn.nn_match(q, e, payload, n_tgt)
         else:
             # model-parallel hot loop: each device searches its query-row
             # slice against the (replicated) target embedding; the int32
             # match vector is all_gathered over ICI (cheap: 4 B/point)
             midx_l, _ = knn.nn_argmin(_my_rows(q, points_axis), e, n_tgt)
             midx = _gather_rows(midx_l, points_axis)
-        tgt_m = tgt_c[midx]
+            matched = payload[midx]
+        tgt_m = matched[:, :3]
 
         # --- stored distance (trim + mse source): R3 metric in both
         #     phases (ref:cpp:411, 436, 465)
         if is_se3:
-            d_A = jnp.linalg.norm(cur_tra - tgt_tr_beta[midx], axis=-1)
+            tr_beta_m = matched[:, _pay_off["tr_beta"]:
+                                _pay_off["tr_beta"] + 3]
+            d_A = jnp.linalg.norm(cur_tra - tr_beta_m, axis=-1)
             d_B = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
             dist = jnp.where(switched, d_B, d_A)
         else:
@@ -441,14 +470,18 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         if eff_variant == "pt2pt":
             T_i = solve.solve_pt2pt(src_moving, tgt_m, w)
         elif eff_variant == "pt2pl":
-            T_i = solve.solve_pt2pl(src_moving, tgt_m, tgt_normals[midx], w)
+            nrm_m = matched[:, _pay_off["normals"]:
+                            _pay_off["normals"] + 3]
+            T_i = solve.solve_pt2pl(src_moving, tgt_m, nrm_m, w)
         else:
             cov_s_cur = jnp.einsum("ij,njk,lk->nil", R, cov_src0, R)
+            cov_t_m = matched[:, _pay_off["cov"]:
+                              _pay_off["cov"] + 9].reshape(ns, 3, 3)
             conf = None
             if use_cf:
-                conf = 0.5 * (conf_src + conf_tgt[midx])
+                conf = 0.5 * (conf_src + matched[:, _pay_off["conf_t"]])
             T_i = solve.solve_gicp(src_moving, tgt_m, cov_s_cur,
-                                   cov_tgt[midx], w, conf)
+                                   cov_t_m, w, conf)
 
         T_new = T_i @ T
 
@@ -577,6 +610,8 @@ def sanitize_cloud(points) -> np.ndarray:
     it to FLANN with similar garbage-out).  Returns [M,3] float64."""
     pts = np.asarray(points, dtype=np.float64).reshape(-1, 3)
     mask = np.isfinite(pts).all(axis=1)
+    if mask.all():
+        return pts  # fast path: skip the fancy-index copy (hot in packing)
     return pts[mask]
 
 

@@ -31,11 +31,23 @@ _BIG = 3.4e38  # ~f32 max; used instead of inf so masked math stays finite
 
 
 def _use_pallas() -> bool:
-    """Measured on TPU v5e (15k x 15k x 12): XLA's fused matmul+argmin =
-    0.82 ms vs the best Pallas tiling = 1.07 ms, so XLA is the default;
-    set SE3_ICP_TPU_PALLAS=1 to opt into the Pallas kernel."""
+    """UNBATCHED dispatch policy.  Measured on TPU v5e (15k x 15k x 12):
+    XLA's fused matmul+argmin = 0.82 ms vs the best Pallas tiling =
+    1.07 ms, so XLA is the default for single queries; set
+    SE3_ICP_TPU_PALLAS=1 to opt into the Pallas kernel.  BATCHED
+    (vmapped) calls are a different story -- see ``nn_argmin``."""
     return bool(os.environ.get("SE3_ICP_TPU_PALLAS")) and (
         jax.default_backend() == "tpu")
+
+
+def _use_pallas_batched() -> bool:
+    """Batched calls default to the fused Pallas kernel on TPU: XLA's
+    batched matmul+argmin materializes the [B,Nq,Nt] distance matrix in
+    HBM (~3 passes over 5.4 GB per engine iteration at 64x4608) --
+    measured ~20 ms/iter vs ~2 ms fused.  SE3_ICP_TPU_NO_PALLAS=1
+    reverts to XLA."""
+    return (jax.default_backend() == "tpu"
+            and not os.environ.get("SE3_ICP_TPU_NO_PALLAS"))
 
 
 def _chunk_starts(n: int, chunk: int):
@@ -89,37 +101,101 @@ def nn_argmin_xla(queries, targets, n_targets=None, chunk: int = 4096):
     return idx.reshape(-1)[:nq], d2.reshape(-1)[:nq]
 
 
+def _bcast(x, b, axis_size):
+    return x if b else jnp.broadcast_to(x[None],
+                                        (axis_size,) + jnp.shape(x))
+
+
 @jax.custom_batching.custom_vmap
 def _nn_argmin_pallas_or_xla(queries, targets, n_targets):
     from se3_icp_tpu.ops import pallas_knn
     return pallas_knn.nn_argmin_pallas(queries, targets, n_targets)
 
 
-@_nn_argmin_pallas_or_xla.def_vmap
-def _nn_argmin_pallas_vmap_rule(axis_size, in_batched, queries, targets,
-                                n_targets):
-    """Batched (vmapped) calls fall back to the XLA path: Pallas TPU
-    block-shape divisibility rejects the kernel's whole-array output
-    blocks once vmap adds a leading grid dimension, and XLA is the
-    faster path at batched sizes anyway."""
+@jax.custom_batching.custom_vmap
+def _nn_argmin_xla_single(queries, targets, n_targets):
+    return nn_argmin_xla(queries, targets, n_targets)
+
+
+def _batched_pallas_rule(axis_size, in_batched, queries, targets,
+                         n_targets):
+    """vmap rule shared by both dispatch variants: route the whole
+    batch through the natively batched Pallas kernel (the batch is an
+    outer grid dimension -- no vmap-of-pallas lowering involved)."""
+    from se3_icp_tpu.ops import pallas_knn
     qb, tb, nb = in_batched
-    bcast = lambda x, b: x if b else (  # noqa: E731
-        jnp.broadcast_to(x[None], (axis_size,) + jnp.shape(x)))
-    out = jax.vmap(nn_argmin_xla)(bcast(queries, qb), bcast(targets, tb),
-                                  bcast(jnp.asarray(n_targets), nb))
+    out = pallas_knn.nn_argmin_pallas_batched(
+        _bcast(queries, qb, axis_size), _bcast(targets, tb, axis_size),
+        _bcast(jnp.asarray(n_targets, jnp.int32), nb, axis_size))
     return out, (True, True)
 
 
+_nn_argmin_pallas_or_xla.def_vmap(_batched_pallas_rule)
+_nn_argmin_xla_single.def_vmap(_batched_pallas_rule)
+
+
 def nn_argmin(queries, targets, n_targets=None):
-    """1-NN dispatch: Pallas on TPU (opt-in), XLA elsewhere.  Same
-    results; under vmap the Pallas opt-in transparently reverts to XLA
-    (see the custom_vmap rule)."""
+    """1-NN dispatch.
+
+    On TPU: unbatched calls use XLA's fused matmul+argmin (fastest
+    single-problem path; SE3_ICP_TPU_PALLAS=1 opts into the Pallas
+    kernel), while vmapped calls -- the engine's batched hot loop --
+    lower to the natively batched Pallas kernel via a custom_vmap rule
+    (SE3_ICP_TPU_NO_PALLAS=1 reverts).  Elsewhere: plain XLA."""
     if _use_pallas():
         if n_targets is None:
             n_targets = targets.shape[0]
         return _nn_argmin_pallas_or_xla(queries, targets,
                                         jnp.asarray(n_targets, jnp.int32))
+    if _use_pallas_batched():
+        if n_targets is None:
+            n_targets = targets.shape[0]
+        return _nn_argmin_xla_single(queries, targets,
+                                     jnp.asarray(n_targets, jnp.int32))
     return nn_argmin_xla(queries, targets, n_targets)
+
+
+@jax.custom_batching.custom_vmap
+def _nn_match(queries, targets, payload, n_targets):
+    idx, d2 = nn_argmin_xla(queries, targets, n_targets)
+    return idx, d2, payload[idx]
+
+
+@_nn_match.def_vmap
+def _nn_match_vmap_rule(axis_size, in_batched, queries, targets, payload,
+                        n_targets):
+    """Batched matches lower to the fused Pallas NN+payload kernel on
+    TPU (index gathers of the matched rows are scalar-bound: ~13 ms per
+    engine iteration at 64x4608 -- the kernel selects the winning row
+    via an argmin-one-hot matmul on the MXU instead).  Elsewhere: XLA
+    argmin + take_along_axis."""
+    qb, tb, pb, nb = in_batched
+    q = _bcast(queries, qb, axis_size)
+    t = _bcast(targets, tb, axis_size)
+    p = _bcast(payload, pb, axis_size)
+    n = _bcast(jnp.asarray(n_targets, jnp.int32), nb, axis_size)
+    if _use_pallas_batched():
+        from se3_icp_tpu.ops import pallas_knn
+        out = pallas_knn.nn_match_pallas_batched(q, t, p, n)
+    else:
+        idx, d2 = jax.vmap(nn_argmin_xla)(q, t, n)
+        out = (idx, d2,
+               jnp.take_along_axis(p, idx[:, :, None], axis=1))
+    return out, (True, True, True)
+
+
+def nn_match(queries, targets, payload, n_targets=None):
+    """1-NN + matched-row payload: returns (idx [Nq] int32, d2 [Nq],
+    matched [Nq,P]) with matched[i] == payload[idx[i]].
+
+    The registration loop's correspondence search: instead of gathering
+    ``tgt_c[midx]``/``tgt_normals[midx]``/... after an index-only NN,
+    callers pack every per-target quantity they need into ``payload``
+    columns and receive the matched rows fused with the search."""
+    if n_targets is None:
+        n_targets = targets.shape[0]
+    return _nn_match(queries, targets, payload,
+                     jnp.asarray(n_targets, jnp.int32))
 
 
 def nn_distances(queries, targets, tgt_valid=None, chunk: int = 2048):

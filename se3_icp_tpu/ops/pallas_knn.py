@@ -126,3 +126,326 @@ def nn_argmin_pallas(queries, targets, n_targets=None,
                  ((0, (-nt) % tile_t), (0, _D_PAD - dim)))
     idx, d2 = _nn_argmin_padded(qp, tp, n_targets, tile_q, tile_t)
     return idx[:nq], d2[:nq].astype(queries.dtype)
+
+
+# ---------------------------------------------------------------------
+# Natively batched variant: the registration engine runs vmapped over a
+# pair axis (parallel/pairs.py), and per-iteration the XLA path's
+# batched matmul+argmin materializes the [B, Nq, Nt] distance matrix in
+# HBM -- measured ~20 ms per iteration at 64x4608x4608x12 on v5e, i.e.
+# ~3 full HBM passes over 5.4 GB.  This kernel puts the batch on the
+# OUTER grid dimension (no vmap involved), keeps the (min, argmin)
+# accumulator VMEM-resident across target tiles, and drops per-iteration
+# NN cost to the input-read + MXU floor.
+
+def _kernel_batched(q_ref, t_ref, tn_ref, best_d2_ref, best_idx_ref):
+    """Lean body: every pass over the [tile_q, tile_t] block counts.
+
+      * padded/invalid target rows are pre-poisoned to huge coordinates
+        by the wrapper, so no per-tile column iota/mask pass;
+      * ``tn = |t|^2`` is precomputed once per cloud and streamed in as
+        a [1, tile_t] block instead of being recomputed per query tile;
+      * the per-row constant ``|q|^2`` cannot change the argmin, so the
+        reduction runs over ``tn - 2 q.t`` and the wrapper adds |q|^2
+        back to the returned min distance afterwards;
+      * the cross term arrives as ONE bf16 dot: the wrapper splits each
+        f32 operand into three bf16 limbs and packs the six largest
+        limb products along K (see _pack_nn_operands), so an f32-exact
+        expansion accumulates in a single MXU pass group with one
+        output buffer -- ~2.5x faster than an f32 HIGHEST dot at
+        64x4608x4608x16 on v5e and argmin-identical to the f64 oracle
+        on realistic data.
+    """
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    tile_t = t_ref.shape[1]
+
+    prod = jax.lax.dot_general(
+        q_ref[0], t_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d2 = tn_ref[0] - 2.0 * prod  # tn block is [1, 1, tile_t]
+
+    tile_min = jnp.min(d2, axis=1)
+    tile_arg = (jnp.argmin(d2, axis=1) + j * tile_t).astype(jnp.int32)
+
+    @pl.when(j == 0)
+    def _init():
+        best_d2_ref[0, i, :] = tile_min
+        best_idx_ref[0, i, :] = tile_arg
+
+    @pl.when(j != 0)
+    def _combine():
+        cur = best_d2_ref[0, i, :]
+        better = tile_min < cur
+        best_d2_ref[0, i, :] = jnp.where(better, tile_min, cur)
+        best_idx_ref[0, i, :] = jnp.where(better, tile_arg,
+                                          best_idx_ref[0, i, :])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "tile_t"))
+def _nn_argmin_padded_batched(queries, targets, tn, tile_q: int,
+                              tile_t: int):
+    bsz, nq, d = queries.shape
+    nt = targets.shape[1]
+    ni = nq // tile_q
+    grid = (bsz, ni, nt // tile_t)
+
+    best_d2, best_idx = pl.pallas_call(
+        _kernel_batched,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_t), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # one batch row's full output stays VMEM-resident while its
+            # (i, j) tiles run (j innermost revisits it; a few KB)
+            pl.BlockSpec((1, ni, tile_q), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni, tile_q), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * nq * nt * d,
+            bytes_accessed=4 * bsz * (nq * d + nt * d * ni + 2 * nq),
+            transcendentals=0,
+        ),
+    )(queries, targets, tn)
+    return (best_idx.reshape(bsz, -1), best_d2.reshape(bsz, -1))
+
+
+def _pick_tiles(nq: int, nt: int) -> tuple[int, int]:
+    """Tile selection for the batched kernel.
+
+    Targets stream in minimal-padding chunks of at most 4608 rows (a
+    4608-point cloud runs ONE pass with zero padding; 15360 runs 4x3840
+    instead of 8x2048); tile_q is then the largest power-of-two
+    multiple of 128 whose [tile_q, tile_t] f32 d2 block fits the VMEM
+    budget -- powers of two only, because 384-row tiles measured ~8x
+    slower than 512 on v5e (pathological Mosaic layout)."""
+    budget = 10 * 1024 * 1024
+    nt_p = -(-nt // 128) * 128
+    steps = -(-nt_p // 4608)
+    tile_t = -(-(-(-nt_p // steps)) // 128) * 128  # ceil/steps, to x128
+    tile_q = 128
+    while tile_q * 2 * 4 * tile_t <= budget and tile_q < 2048:
+        tile_q *= 2
+    return tile_q, tile_t
+
+
+_POISON = 1e17  # poisoned coordinate: |t|^2 ~ 3e34 stays finite in f32
+
+
+def _split3_limbs(x):
+    """f32 -> (hi, mid, lo) bf16 limbs, hi+mid+lo == x exactly (three
+    8-bit mantissa windows cover f32's 24 bits; the sums are exact
+    because the windows are disjoint).
+
+    The roundings MUST be ``lax.reduce_precision``, not converts: under
+    ``--xla_allow_excess_precision`` (on by default in this toolchain)
+    XLA may elide f32->bf16->f32 convert round-trips inside a fused
+    program, which silently zeroes the residual limbs and degrades the
+    packed dot to plain bf16 (observed: ~3% flipped argmins and broken
+    engine convergence when this used ``astype``)."""
+    hi_f = jax.lax.reduce_precision(x, 8, 7)
+    r = x - hi_f
+    mid_f = jax.lax.reduce_precision(r, 8, 7)
+    lo_f = jax.lax.reduce_precision(r - mid_f, 8, 7)
+    return (hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16),
+            lo_f.astype(jnp.bfloat16))
+
+
+def _pack_nn_operands(qp, tp):
+    """Pack the f32 cross term q.t as ONE bf16 dot along K.
+
+    q = qh+qm+ql, t = th+tm+tl (exact 3-limb splits); keeping the six
+    largest limb products -- hh, hm, mh, hl, lh, mm -- reproduces the
+    f32 product to ~2^-24 relative (the dropped ml/lm/ll terms are
+    <= 2^-40), i.e. the same error class as XLA's f32 HIGHEST 6-pass
+    emulation, at ONE bf16 MXU pass group over K=6D: measured ~2.5x
+    faster than a HIGHEST dot at 64x4608x4608x16 on v5e.  Each bf16
+    limb product is exact in the f32 accumulator (8x8-bit mantissas).
+    """
+    qh, qm, ql = _split3_limbs(qp)
+    th, tm, tl = _split3_limbs(tp)
+    q6 = jnp.concatenate([qh, qh, qm, qh, ql, qm], axis=-1)
+    t6 = jnp.concatenate([th, tm, th, tl, th, tm], axis=-1)
+    return q6, t6
+
+
+def nn_argmin_pallas_batched(queries, targets, n_targets=None):
+    """Batched 1-NN: queries [B,Nq,D], targets [B,Nt,D],
+    n_targets [B] -> (idx [B,Nq] int32, d2 [B,Nq]).
+
+    Invalid/padded target rows (index >= n_targets) are poisoned to a
+    huge coordinate BEFORE the kernel, so the O(B*Nq*Nt) inner loop
+    carries no masking pass; |q|^2 is added back outside the reduction
+    (a per-row constant cannot change the argmin); the f32 operands are
+    limb-split to bf16 and packed along K so the kernel's one bf16 dot
+    computes the full f32 cross-term expansion (see _kernel_batched)."""
+    bsz, nq, dim = queries.shape
+    nt = targets.shape[1]
+    dp = max(_D_PAD, -(-dim // 8) * 8)
+    tile_q, tile_t = _pick_tiles(nq, nt)
+    qp = jnp.pad(queries.astype(jnp.float32),
+                 ((0, 0), (0, (-nq) % tile_q), (0, dp - dim)))
+    tp = jnp.pad(targets.astype(jnp.float32),
+                 ((0, 0), (0, (-nt) % tile_t), (0, dp - dim)))
+    row = jax.lax.broadcasted_iota(jnp.int32, tp.shape[:2], 1)
+    if n_targets is None:
+        n_arr = jnp.full((bsz,), nt, jnp.int32)
+    else:
+        n_arr = jnp.asarray(n_targets, jnp.int32)
+    tp = jnp.where((row < n_arr[:, None])[:, :, None], tp, _POISON)
+    tn = jnp.sum(tp * tp, axis=-1)[:, None, :]           # [B, 1, Ntp]
+    q6, t6 = _pack_nn_operands(qp, tp)                   # [B, *, 6dp]
+    idx, d2 = _nn_argmin_padded_batched(q6, t6, tn, tile_q, tile_t)
+    qn = jnp.sum(qp[:, :nq] * qp[:, :nq], axis=-1)
+    return idx[:, :nq], (d2[:, :nq] + qn).astype(queries.dtype)
+
+
+# ---------------------------------------------------------------------
+# Fused 1-NN + matched-payload selection.
+#
+# The registration loop consumes the MATCH's data, not its index:
+# tgt_c[midx], tgt_normals[midx], tgt_tr_beta[midx], cov_tgt[midx] --
+# random row gathers that are scalar-bound on TPU (measured ~13 ms per
+# iteration at 64x4608x3 in the engine's while loop, dwarfing the NN
+# itself).  This kernel returns the winning target's payload row
+# directly: per tile it builds the argmin one-hot [tile_q, tile_t]
+# (exact 0/1 bf16) and contracts it with the payload block on the MXU.
+# Payload rows travel as exact 3-limb bf16 splits (see _split3_limbs),
+# so the reconstruction hi+mid+lo is bit-exact f32.
+
+def _kernel_match(q_ref, t_ref, tn_ref, pay_ref,
+                  best_d2_ref, best_idx_ref, best_pay_ref):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    tile_t = t_ref.shape[1]
+
+    prod = jax.lax.dot_general(
+        q_ref[0], t_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d2 = tn_ref[0] - 2.0 * prod
+
+    tile_min = jnp.min(d2, axis=1)
+    am = jnp.argmin(d2, axis=1).astype(jnp.int32)        # [tile_q] local
+    tile_arg = am + j * tile_t
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    onehot = (col == am[:, None]).astype(jnp.bfloat16)
+    pay = jax.lax.dot_general(
+        onehot, pay_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [tile_q, 3P]
+
+    @pl.when(j == 0)
+    def _init():
+        best_d2_ref[0, i, :] = tile_min
+        best_idx_ref[0, i, :] = tile_arg
+        best_pay_ref[0, :, :] = pay
+
+    @pl.when(j != 0)
+    def _combine():
+        cur = best_d2_ref[0, i, :]
+        better = tile_min < cur
+        best_d2_ref[0, i, :] = jnp.where(better, tile_min, cur)
+        best_idx_ref[0, i, :] = jnp.where(better, tile_arg,
+                                          best_idx_ref[0, i, :])
+        best_pay_ref[0, :, :] = jnp.where(better[:, None], pay,
+                                          best_pay_ref[0, :, :])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "tile_t"))
+def _nn_match_padded_batched(q6, t6, tn, pay3, tile_q: int, tile_t: int):
+    bsz, nq, _ = q6.shape
+    nt = t6.shape[1]
+    p3 = pay3.shape[2]
+    ni = nq // tile_q
+    grid = (bsz, ni, nt // tile_t)
+
+    best_d2, best_idx, best_pay = pl.pallas_call(
+        _kernel_match,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, q6.shape[2]),
+                         lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, t6.shape[2]),
+                         lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_t), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, p3), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ni, tile_q), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni, tile_q), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # payload block follows the query tile (revisited across j)
+            pl.BlockSpec((1, tile_q, p3), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, nq, p3), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * nq * nt * (q6.shape[2] + p3),
+            bytes_accessed=4 * bsz * (nq * q6.shape[2]
+                                      + (nt * (t6.shape[2] + p3)) * ni
+                                      + nq * (2 + p3)),
+            transcendentals=0,
+        ),
+    )(q6, t6, tn, pay3)
+    return (best_idx.reshape(bsz, -1), best_d2.reshape(bsz, -1),
+            best_pay)
+
+
+def nn_match_pallas_batched(queries, targets, payload, n_targets=None):
+    """Fused batched 1-NN + payload gather.
+
+    queries [B,Nq,D], targets [B,Nt,D], payload [B,Nt,P] f32 ->
+    (idx [B,Nq] int32, d2 [B,Nq], matched [B,Nq,P] f32) with
+    matched[b, q] == payload[b, idx[b, q]] bit-exactly.
+    """
+    bsz, nq, dim = queries.shape
+    nt = targets.shape[1]
+    p = payload.shape[2]
+    dp = max(_D_PAD, -(-dim // 8) * 8)
+    tile_q, tile_t = _pick_tiles(nq, nt)
+    qp = jnp.pad(queries.astype(jnp.float32),
+                 ((0, 0), (0, (-nq) % tile_q), (0, dp - dim)))
+    tp = jnp.pad(targets.astype(jnp.float32),
+                 ((0, 0), (0, (-nt) % tile_t), (0, dp - dim)))
+    row = jax.lax.broadcasted_iota(jnp.int32, tp.shape[:2], 1)
+    if n_targets is None:
+        n_arr = jnp.full((bsz,), nt, jnp.int32)
+    else:
+        n_arr = jnp.asarray(n_targets, jnp.int32)
+    tp = jnp.where((row < n_arr[:, None])[:, :, None], tp, _POISON)
+    tn = jnp.sum(tp * tp, axis=-1)[:, None, :]
+    q6, t6 = _pack_nn_operands(qp, tp)
+
+    payp = jnp.pad(payload.astype(jnp.float32),
+                   ((0, 0), (0, (-nt) % tile_t), (0, 0)))
+    ph, pm, plo = _split3_limbs(payp)
+    pay3 = jnp.concatenate([ph, pm, plo], axis=-1)       # [B, Ntp, 3P]
+
+    idx, d2, pay = _nn_match_padded_batched(q6, t6, tn, pay3,
+                                            tile_q, tile_t)
+    matched = (pay[:, :nq, :p] + pay[:, :nq, p:2 * p]
+               + pay[:, :nq, 2 * p:])
+    qn = jnp.sum(qp[:, :nq] * qp[:, :nq], axis=-1)
+    return (idx[:, :nq], (d2[:, :nq] + qn).astype(queries.dtype),
+            matched.astype(payload.dtype))
