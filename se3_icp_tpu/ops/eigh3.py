@@ -61,12 +61,13 @@ def _null_vec(M, eps):
     n01 = jnp.sum(c01 * c01, -1)
     n02 = jnp.sum(c02 * c02, -1)
     n12 = jnp.sum(c12 * c12, -1)
-    cands = jnp.stack([c01, c02, c12], -2)          # [...,3,3]
-    norms = jnp.stack([n01, n02, n12], -1)          # [...,3]
-    best = jnp.argmax(norms, -1)
-    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1),
-                            -2)[..., 0, :]
-    nbest = jnp.take_along_axis(norms, best[..., None], -1)[..., 0]
+    # pick the largest-norm candidate with pure selects (argmax +
+    # take_along_axis lowered to a scalar-bound gather: 2.75 ms per
+    # 196k-point batch on v5e, in the GICP per-iteration path)
+    v12 = jnp.where((n02 >= n12)[..., None], c02, c12)  # ties: lower pair
+    nb12 = jnp.maximum(n02, n12)
+    v = jnp.where((n01 >= nb12)[..., None], c01, v12)
+    nbest = jnp.maximum(n01, nb12)
     ok = nbest > eps * eps
     v = jnp.where(ok[..., None], v, jnp.zeros_like(v).at[..., 0].set(1.0))
     nrm = jnp.linalg.norm(v, axis=-1, keepdims=True)
