@@ -253,11 +253,30 @@ def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 4096,
     qc = qp.reshape(-1, chunk, queries.shape[1])
 
     def one(q):
-        d2 = _mask_cols(_pairwise_d2(q, targets), n_targets)
         if method == "approx":
-            negd, idx = jax.lax.approx_min_k(
+            # bf16 end-to-end: this path only feeds NEIGHBORHOOD
+            # selection (TOLDI/normal/cov rank thresholds, FPFH
+            # neighbor lists), which already tolerates the approximate
+            # reduction (recall 0.9) -- bf16's 0.4% distance resolution
+            # perturbs borderline members the same way.  Halves the
+            # PartialReduce + aggregate-sort HBM traffic and runs the
+            # distance matmul in one MXU pass instead of six
+            # (measured 66 -> ~25 ms per 64x4608x4608 cloud pair on
+            # v5e).  The correspondence 1-NN never uses this path.
+            qn = jnp.sum(q * q, axis=-1, keepdims=True)
+            tn = jnp.sum(targets * targets, axis=-1)
+            prod = jax.lax.dot_general(
+                q, targets, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d2 = (qn - 2.0 * prod + tn[None, :]).astype(jnp.bfloat16)
+            if n_targets is not None:
+                col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                d2 = jnp.where(col < n_targets, d2,
+                               jnp.asarray(1e30, jnp.bfloat16))
+            mind, idx = jax.lax.approx_min_k(
                 d2, k, recall_target=APPROX_RECALL, aggregate_to_topk=True)
-            return idx.astype(jnp.int32), negd
+            return idx.astype(jnp.int32), mind.astype(queries.dtype)
+        d2 = _mask_cols(_pairwise_d2(q, targets), n_targets)
         neg, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg
 

@@ -342,9 +342,14 @@ def _kernel_match(q_ref, t_ref, tn_ref, pay_ref,
 
     col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     onehot = (col == am[:, None]).astype(jnp.bfloat16)
-    pay = jax.lax.dot_general(
+    pay3 = jax.lax.dot_general(
         onehot, pay_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # [tile_q, 3P]
+    # fold the exact limb triple back to f32 in VMEM (hi+mid+lo sums
+    # are exact; doing it here saves an XLA pass over [B,Nq,3P] per
+    # engine iteration and shrinks the output 3x)
+    p_w = pay3.shape[1] // 3
+    pay = pay3[:, :p_w] + pay3[:, p_w:2 * p_w] + pay3[:, 2 * p_w:]
 
     @pl.when(j == 0)
     def _init():
@@ -392,13 +397,13 @@ def _nn_match_padded_batched(q6, t6, tn, pay3, tile_q: int, tile_t: int):
             pl.BlockSpec((1, ni, tile_q), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             # payload block follows the query tile (revisited across j)
-            pl.BlockSpec((1, tile_q, p3), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, tile_q, p3 // 3), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.float32),
             jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, nq, p3), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nq, p3 // 3), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * nq * nt * (q6.shape[2] + p3),
@@ -442,10 +447,8 @@ def nn_match_pallas_batched(queries, targets, payload, n_targets=None):
     ph, pm, plo = _split3_limbs(payp)
     pay3 = jnp.concatenate([ph, pm, plo], axis=-1)       # [B, Ntp, 3P]
 
-    idx, d2, pay = _nn_match_padded_batched(q6, t6, tn, pay3,
-                                            tile_q, tile_t)
-    matched = (pay[:, :nq, :p] + pay[:, :nq, p:2 * p]
-               + pay[:, :nq, 2 * p:])
+    idx, d2, matched = _nn_match_padded_batched(q6, t6, tn, pay3,
+                                                tile_q, tile_t)
     qn = jnp.sum(qp[:, :nq] * qp[:, :nq], axis=-1)
     return (idx[:, :nq], (d2[:, :nq] + qn).astype(queries.dtype),
-            matched.astype(payload.dtype))
+            matched[:, :nq].astype(payload.dtype))
