@@ -265,10 +265,11 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
             if points_axis is None:
                 # gather-free path: masked-matmul neighborhood
                 # reductions (random row gathers are scalar-bound on
-                # TPU; see lrf.toldi_frames_dense)
-                rot_s0, _ = lrf.toldi_frames_dense(
+                # TPU); on TPU under vmap this lowers to the fused
+                # pallas_moments kernels (lrf.toldi_frames_dense_fused)
+                rot_s0, _ = lrf.toldi_frames_dense_fused(
                     src_c, d2_src[:, :klrf], n_src)
-                rot_t0, _ = lrf.toldi_frames_dense(
+                rot_t0, _ = lrf.toldi_frames_dense_fused(
                     tgt_c, d2_tgt[:, :klrf], n_tgt)
             else:
                 # row-sliced dense variant: same masked-matmul math on

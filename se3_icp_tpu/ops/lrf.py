@@ -400,3 +400,87 @@ def gicp_covariances_from_neighbors(points, idx, epsilon: float = 1e-3):
     Rx = rotation_from_e1_to_x(normals)
     C = jnp.diag(jnp.asarray([epsilon, 1.0, 1.0], points.dtype))
     return Rx @ C @ Rx.mT
+
+
+# ---------------------------------------------------------------------
+# Fused-Pallas TOLDI (batched): same math as toldi_frames_dense, with
+# the O(N^2) mask/moment reductions in the pallas_moments kernels (the
+# XLA chunked path rematerializes [B, chunk, N] distance/mask blocks in
+# HBM -- ~115 ms per 64x4608 batch on v5e; the kernels run it in ~10 ms)
+
+def _toldi_fused_batched(points, d2sorted, n_valid):
+    from se3_icp_tpu.ops import pallas_moments as pm
+
+    dtype = points.dtype
+    bsz, n, _ = points.shape
+    k = d2sorted.shape[2]
+    rz = k // 3
+    divisor = jnp.asarray(rz, dtype)             # exact_centroid=False
+
+    thr_cen = 0.5 * (d2sorted[:, :, rz - 1] + d2sorted[:, :, rz])
+    thr_cov = 0.5 * (d2sorted[:, :, rz] + d2sorted[:, :, rz + 1])
+    last = jnp.minimum(k - 1, jnp.maximum(n_valid - 1, 1)).astype(
+        jnp.int32)
+    r2 = jnp.take_along_axis(d2sorted, last[:, None, None],
+                             axis=2)[:, :, 0]
+    thr_all = r2 * (1.0 + 1e-6) + jnp.asarray(1e-30, dtype)
+
+    mom = pm.moments_batched(points, n_valid, thr_cen, thr_cov, thr_all)
+
+    cen = mom["cen_sum"] / divisor                        # [B,N,3]
+    s1 = mom["cov_sum"]
+    s2 = mom["cov_p9"].reshape(bsz, n, 3, 3)
+    m = mom["cov_cnt"]
+    cov = (s2
+           - s1[:, :, :, None] * cen[:, :, None, :]
+           - cen[:, :, :, None] * s1[:, :, None, :]
+           + m[:, :, None, None] * cen[:, :, :, None]
+           * cen[:, :, None, :])
+    normal = eigh3.smallest_eigvec3(cov)                  # [B,N,3]
+
+    arrow = mom["all_sum"] - mom["all_cnt"][:, :, None] * points
+    radius = jnp.sqrt(jnp.maximum(r2, 0.0))
+    ndotq = jnp.sum(normal * points, axis=-1)
+    w_p, w_sum = pm.axis_sums_batched(points, n_valid, normal, ndotq,
+                                      radius, thr_all)
+    scaled = w_p - w_sum[:, :, None] * points
+
+    flip = jnp.sum(normal * arrow, axis=-1) < 0.0
+    z = jnp.where(flip[:, :, None], -normal, normal)
+    x = scaled - jnp.sum(scaled * z, -1, keepdims=True) * z
+    xn = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    x = x / jnp.maximum(xn, jnp.asarray(1e-30, dtype))
+    y = jnp.cross(z, x)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+@jax.custom_batching.custom_vmap
+def _toldi_fused_cv(points, d2sorted, n_valid):
+    rot, _ = toldi_frames_dense(points, d2sorted, n_valid)
+    return rot
+
+
+@_toldi_fused_cv.def_vmap
+def _toldi_fused_vmap_rule(axis_size, in_batched, points, d2sorted,
+                           n_valid):
+    pb, db, nb = in_batched
+
+    def bc(x, b):
+        return x if b else jnp.broadcast_to(
+            x[None], (axis_size,) + jnp.shape(x))
+    out = _toldi_fused_batched(bc(points, pb), bc(d2sorted, db),
+                               bc(jnp.asarray(n_valid, jnp.int32), nb))
+    return out, True
+
+
+def toldi_frames_dense_fused(points, d2sorted, n_valid):
+    """TOLDI frames; under vmap on TPU this lowers to the fused
+    pallas_moments kernels, otherwise it is toldi_frames_dense.
+    Returns (rot [N,3,3], origins) like toldi_frames_dense."""
+    import os
+    if jax.default_backend() != "tpu" or os.environ.get(
+            "SE3_ICP_TPU_NO_PALLAS"):
+        return toldi_frames_dense(points, d2sorted, n_valid)
+    rot = _toldi_fused_cv(points, d2sorted,
+                          jnp.asarray(n_valid, jnp.int32))
+    return rot, points

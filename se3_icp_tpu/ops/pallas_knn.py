@@ -162,7 +162,8 @@ def _kernel_batched(q_ref, t_ref, tn_ref, best_d2_ref, best_idx_ref):
 
     prod = jax.lax.dot_general(
         q_ref[0], t_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     d2 = tn_ref[0] - 2.0 * prod  # tn block is [1, 1, tile_t]
 
     tile_min = jnp.min(d2, axis=1)
@@ -222,7 +223,8 @@ def _nn_argmin_padded_batched(queries, targets, tn, tile_q: int,
     return (best_idx.reshape(bsz, -1), best_d2.reshape(bsz, -1))
 
 
-def _pick_tiles(nq: int, nt: int) -> tuple[int, int]:
+def _pick_tiles(nq: int, nt: int,
+                budget: int = 10 * 1024 * 1024) -> tuple[int, int]:
     """Tile selection for the batched kernel.
 
     Targets stream in minimal-padding chunks of at most 4608 rows (a
@@ -231,7 +233,6 @@ def _pick_tiles(nq: int, nt: int) -> tuple[int, int]:
     multiple of 128 whose [tile_q, tile_t] f32 d2 block fits the VMEM
     budget -- powers of two only, because 384-row tiles measured ~8x
     slower than 512 on v5e (pathological Mosaic layout)."""
-    budget = 10 * 1024 * 1024
     nt_p = -(-nt // 128) * 128
     steps = -(-nt_p // 4608)
     tile_t = -(-(-(-nt_p // steps)) // 128) * 128  # ceil/steps, to x128
@@ -333,7 +334,8 @@ def _kernel_match(q_ref, t_ref, tn_ref, pay_ref,
 
     prod = jax.lax.dot_general(
         q_ref[0], t_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     d2 = tn_ref[0] - 2.0 * prod
 
     tile_min = jnp.min(d2, axis=1)
@@ -344,7 +346,8 @@ def _kernel_match(q_ref, t_ref, tn_ref, pay_ref,
     onehot = (col == am[:, None]).astype(jnp.bfloat16)
     pay3 = jax.lax.dot_general(
         onehot, pay_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [tile_q, 3P]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)              # [tile_q, 3P]
     # fold the exact limb triple back to f32 in VMEM (hi+mid+lo sums
     # are exact; doing it here saves an XLA pass over [B,Nq,3P] per
     # engine iteration and shrinks the output 3x)

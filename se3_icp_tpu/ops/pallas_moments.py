@@ -1,0 +1,295 @@
+"""Fused Pallas kernels for neighborhood-moment setup (TOLDI C3).
+
+The XLA dense TOLDI path (lrf.toldi_frames_dense) re-materializes
+[B, chunk, N] distance/mask intermediates in HBM for every chunk —
+measured ~115 ms per 64-pair batch of 4608-point clouds on v5e, the
+single largest setup cost after the kNN.  These kernels keep the
+distance tile and the three threshold masks in VMEM and reduce the
+neighborhood moments on the MXU:
+
+  kernel 1 (_kernel_moments): per query tile, for each of the three
+    rank-threshold masks (centroid / covariance / arrow, SURVEY.md C3:
+    ref:cpp:241-316), one bf16 dot of the 0/1 mask against the packed
+    per-point feature block [p(3) | p p^T(9) | 1] in exact 3-limb bf16
+    form -> per-query sums (points, outer products, counts).
+
+  kernel 2 (_kernel_axis): after the normal direction is known (3x3
+    eigh in plain XLA — tiny), recomputes the distance tile and reduces
+    the TOLDI x-axis weighted sum  W = M_all * (radius-d)^2 * (n.v)^2
+    against [p | 1] with W limb-split in-kernel.
+
+Membership semantics: invalid/padded target rows are pre-poisoned to
+huge coordinates (never <= any threshold); the SELF column is included
+by the masks (d2=0 passes every threshold) and its exact contribution
+(p_i, p_i p_i^T, 1) is subtracted afterwards in XLA — identical to the
+reference's explicit self-exclusion.  Threshold compares happen on the
+qn-deferred form r = |t|^2 - 2 q.t  against  thr - |q|^2 (a per-row
+constant shift cannot change membership up to f32 rounding of the
+shifted threshold).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from se3_icp_tpu.ops.pallas_knn import (_POISON, _pack_nn_operands,
+                                        _pick_tiles, _split3_limbs)
+
+
+def _kernel_moments(q6_ref, t6_ref, tn_ref, thr_ref, r48_ref, out_ref):
+    j = pl.program_id(2)
+
+    prod = jax.lax.dot_general(
+        q6_ref[0], t6_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    r = tn_ref[0] - 2.0 * prod                    # [tile_q, tile_t]
+
+    r48 = r48_ref[0]                              # [tile_t, 48] bf16
+    thr = thr_ref[0]                              # [tile_q, 4] f32
+    outs = []
+    for m in range(3):
+        mask = (r <= thr[:, m][:, None]).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            mask, r48, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)   # [tile_q, 48]
+        outs.append(s[:, :16] + s[:, 16:32] + s[:, 32:48])
+    got = jnp.concatenate(outs, axis=-1)          # [tile_q, 48]
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = got
+
+    @pl.when(j != 0)
+    def _acc():
+        out_ref[0] = out_ref[0] + got
+
+
+def _kernel_axis(q6_ref, t6_ref, n6_ref, tn_ref, aux_ref, r16_ref,
+                 out_ref):
+    j = pl.program_id(2)
+
+    dn = (((1,), (1,)), ((), ()))
+    prod = jax.lax.dot_general(q6_ref[0], t6_ref[0], dn,
+                               preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    r = tn_ref[0] - 2.0 * prod
+    ndp = jax.lax.dot_general(n6_ref[0], t6_ref[0], dn,
+                              preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+
+    aux = aux_ref[0]            # [tile_q, 4]: thr_all', qn, radius, n.q
+    mall = (r <= aux[:, 0][:, None]).astype(jnp.float32)
+    d = jnp.sqrt(jnp.maximum(r + aux[:, 1][:, None], 0.0))
+    w1 = (aux[:, 2][:, None] - d)
+    zdot = ndp - aux[:, 3][:, None]
+    # grouping matters: (mask * w1^2) zeroes poisoned columns BEFORE the
+    # product with zdot^2 can overflow f32 (w1^2 * zdot^2 ~ 1e68 there)
+    w = ((mall * (w1 * w1)) * (zdot * zdot))      # [tile_q, tile_t]
+
+    # limb split with plain converts: Mosaic compiles the converts
+    # as written (lax.reduce_precision is not lowerable in-kernel, and
+    # XLA's excess-precision elision does not reach inside the kernel)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    r16 = r16_ref[0]                              # [tile_t, 16] bf16
+    dnk = (((1,), (0,)), ((), ()))
+    s = (jax.lax.dot_general(wh, r16, dnk,
+                             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+         + jax.lax.dot_general(wl, r16, dnk,
+                               preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT))
+    got = s[:, :8] + s[:, 8:16]                   # fold 2 limbs -> [_,8]
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = got
+
+    @pl.when(j != 0)
+    def _acc():
+        out_ref[0] = out_ref[0] + got
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "tile_t"))
+def _moments_padded(q6, t6, tn, thr, r48, tile_q: int, tile_t: int):
+    bsz, nqp, _ = q6.shape
+    ntp = t6.shape[1]
+    grid = (bsz, nqp // tile_q, ntp // tile_t)
+    return pl.pallas_call(
+        _kernel_moments,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, q6.shape[2]),
+                         lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tile_t, t6.shape[2]),
+                         lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, tile_t), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, tile_q, 4), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tile_t, 48), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, 48),
+                               lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, nqp, 48), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * nqp * ntp * (q6.shape[2] + 3 * 48),
+            bytes_accessed=4 * bsz * nqp * ntp // 64,
+            transcendentals=0),
+    )(q6, t6, tn, thr, r48)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "tile_t"))
+def _axis_padded(q6, t6, n6, tn, aux, r16, tile_q: int, tile_t: int):
+    bsz, nqp, _ = q6.shape
+    ntp = t6.shape[1]
+    grid = (bsz, nqp // tile_q, ntp // tile_t)
+    return pl.pallas_call(
+        _kernel_axis,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, q6.shape[2]),
+                         lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tile_t, t6.shape[2]),
+                         lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, tile_q, n6.shape[2]),
+                         lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, tile_t), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, tile_q, 4), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tile_t, 16), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, 8),
+                               lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, nqp, 8), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * nqp * ntp * (q6.shape[2] + 2 * 16),
+            bytes_accessed=4 * bsz * nqp * ntp // 64,
+            transcendentals=bsz * nqp * ntp),
+    )(q6, t6, n6, tn, aux, r16)
+
+
+def _poison_pack(points, n_valid, tile_t):
+    """Pad + poison invalid rows + limb-pack positions; also build the
+    packed feature blocks.  points [B,N,3] f32."""
+    bsz, n, _ = points.shape
+    pad_t = (-n) % tile_t
+    pp = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, pad_t), (0, 0)))
+    row = jax.lax.broadcasted_iota(jnp.int32, pp.shape[:2], 1)
+    pp = jnp.where((row < n_valid[:, None])[:, :, None], pp, _POISON)
+    return pp
+
+
+def _pack_feature_block(pp):
+    """[B,Ntp,3] poisoned positions -> bf16 [B,Ntp,48]:
+    [p(3) | p p^T (9) | 1 | 0(3)] x 3 exact limbs.
+
+    The poisoned rows' P9 would overflow f32 (1e17^2=1e34 is fine;
+    the outer products stay finite) — but they are never selected by
+    any mask, so garbage there is harmless."""
+    bsz, ntp, _ = pp.shape
+    p9 = (pp[:, :, :, None] * pp[:, :, None, :]).reshape(bsz, ntp, 9)
+    ones = jnp.ones((bsz, ntp, 1), jnp.float32)
+    zeros = jnp.zeros((bsz, ntp, 3), jnp.float32)
+    feat = jnp.concatenate([pp, p9, ones, zeros], axis=-1)  # [B,Ntp,16]
+    fh, fm, fl = _split3_limbs(feat)
+    return jnp.concatenate([fh, fm, fl], axis=-1)           # [B,Ntp,48]
+
+
+def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all):
+    """Batched neighborhood moments for three distance thresholds.
+
+    points [B,N,3] (padded rows arbitrary), n_valid [B],
+    thr_* [B,N] absolute squared-distance thresholds per query.
+
+    Returns a dict of per-query sums with the SELF term already
+    removed: cen_sum/cen_cnt, cov_sum/cov_p9/cov_cnt,
+    all_sum/all_cnt.
+    """
+    bsz, n, _ = points.shape
+    tile_q, tile_t = _pick_tiles(n, n, budget=5 * 1024 * 1024)
+    pp = _poison_pack(points, n_valid, tile_t)
+    ntp = pp.shape[1]
+    pad_q = (-n) % tile_q
+    qp = jnp.pad(points.astype(jnp.float32),
+                 ((0, 0), (0, pad_q), (0, 0)), constant_values=0.0)
+    # pack query/target positions for the exact distance dot
+    qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))             # dp=8
+    tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
+    q6, t6 = _pack_nn_operands(qpp, tpp)
+    tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
+    qn = jnp.sum(qp * qp, axis=-1)                          # [B, Nqp']
+    r48 = _pack_feature_block(pp)
+
+    def padq(x):
+        return jnp.pad(x, ((0, 0), (0, pad_q)))
+    thr = jnp.stack([padq(thr_cen) - qn, padq(thr_cov) - qn,
+                     padq(thr_all) - qn,
+                     jnp.zeros_like(qn)], axis=-1)          # [B,Nqp,4]
+
+    out = _moments_padded(q6, t6, tn, thr, r48, tile_q, tile_t)
+    out = out[:, :n]                                        # [B,N,48]
+
+    def block(m):
+        s = out[:, :, 16 * m:16 * m + 16]
+        return s[:, :, :3], s[:, :, 3:12], s[:, :, 12]
+    cen_p, _, cen_c = block(0)
+    cov_p, cov_p9, cov_c = block(1)
+    all_p, _, all_c = block(2)
+    # subtract the self term (always inside every threshold: d2 = 0)
+    p9self = (points[:, :, :, None]
+              * points[:, :, None, :]).reshape(bsz, n, 9)
+    return dict(
+        cen_sum=cen_p - points, cen_cnt=cen_c - 1.0,
+        cov_sum=cov_p - points, cov_p9=cov_p9 - p9self,
+        cov_cnt=cov_c - 1.0,
+        all_sum=all_p - points, all_cnt=all_c - 1.0,
+    )
+
+
+def axis_sums_batched(points, n_valid, normal, ndotq, radius, thr_all):
+    """Batched TOLDI x-axis weighted sums.
+
+    W_ij = M_all(i,j) * (radius_i - d_ij)^2 * (n_i . (p_j - q_i))^2
+    (self term vanishes: zdot_ii = 0).  Returns (W @ p [B,N,3],
+    sum_j W [B,N]).
+    """
+    bsz, n, _ = points.shape
+    # tighter budget than the moments kernel: the axis body keeps ~4
+    # live [tile_q, tile_t] f32 tiles (r, ndp, w, limb temporaries) --
+    # 256-row tiles overflowed the 16 MB scoped VMEM by 192 KB
+    tile_q, tile_t = _pick_tiles(n, n, budget=2 * 1024 * 1024)
+    pp = _poison_pack(points, n_valid, tile_t)
+    pad_q = (-n) % tile_q
+    qp = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, pad_q),
+                                              (0, 0)))
+    qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
+    tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
+    q6, t6 = _pack_nn_operands(qpp, tpp)
+    tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
+    qn = jnp.sum(qp * qp, axis=-1)
+    npad = jnp.pad(normal.astype(jnp.float32),
+                   ((0, 0), (0, pad_q), (0, 5)))
+    n6, _ = _pack_nn_operands(npad, tpp)
+
+    def padq(x):
+        return jnp.pad(x, ((0, 0), (0, pad_q)))
+    aux = jnp.stack([padq(thr_all) - qn, qn, padq(radius),
+                     padq(ndotq)], axis=-1)                 # [B,Nqp,4]
+
+    ones = jnp.ones(pp.shape[:2] + (1,), jnp.float32)
+    feat = jnp.concatenate([pp, ones, jnp.zeros(pp.shape[:2] + (4,),
+                                                jnp.float32)], -1)
+    fh, fl = feat.astype(jnp.bfloat16), None
+    fh_f = jax.lax.reduce_precision(feat, 8, 7)
+    fl = (feat - fh_f).astype(jnp.bfloat16)
+    r16 = jnp.concatenate([fh_f.astype(jnp.bfloat16), fl], -1)
+
+    out = _axis_padded(q6, t6, n6, tn, aux, r16, tile_q, tile_t)
+    out = out[:, :n]
+    return out[:, :, :3], out[:, :, 3]
