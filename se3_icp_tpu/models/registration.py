@@ -328,18 +328,18 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     tgt_normals = cov_src0 = cov_tgt = None
     if eff_variant == "pt2pl":
         if points_axis is None:
-            tgt_normals = lrf.normals_dense(tgt_c, d2_tgt,
-                                            cfg.normals_knn, n_tgt)
+            tgt_normals = lrf.normals_dense_fused(tgt_c, d2_tgt,
+                                                  cfg.normals_knn, n_tgt)
         else:
             tgt_normals = lrf.normals_from_neighbors(
                 tgt_c, idx_tgt[:, :cfg.normals_knn])
             tgt_normals = _gather_rows(tgt_normals, points_axis)
     elif eff_variant == "gicp":
         if points_axis is None:
-            cov_src0 = lrf.gicp_covariances_dense(
+            cov_src0 = lrf.gicp_covariances_dense_fused(
                 src_c, d2_src, cfg.gicp_normals_knn, cfg.gicp_epsilon,
                 n_src)
-            cov_tgt = lrf.gicp_covariances_dense(
+            cov_tgt = lrf.gicp_covariances_dense_fused(
                 tgt_c, d2_tgt, cfg.gicp_normals_knn, cfg.gicp_epsilon,
                 n_tgt)
         else:

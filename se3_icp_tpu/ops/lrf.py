@@ -484,3 +484,73 @@ def toldi_frames_dense_fused(points, d2sorted, n_valid):
     rot = _toldi_fused_cv(points, d2sorted,
                           jnp.asarray(n_valid, jnp.int32))
     return rot, points
+
+
+def _normals_fused_batched(points, thr, n_valid, k_use: int):
+    """Batched gather-free PCA normals via the moments kernel (one
+    threshold mask; self INCLUDED like normals_dense -- the kernel
+    subtracts the self term, so it is added back here)."""
+    from se3_icp_tpu.ops import pallas_moments as pm
+
+    dtype = points.dtype
+    bsz, n, _ = points.shape
+    mom = pm.moments_batched(points, n_valid, thr, thr, thr)
+    p9self = (points[:, :, :, None]
+              * points[:, :, None, :]).reshape(bsz, n, 9)
+    s1 = mom["cov_sum"] + points
+    s2 = (mom["cov_p9"] + p9self).reshape(bsz, n, 3, 3)
+    m = mom["cov_cnt"] + 1.0
+    kinv = jnp.asarray(1.0 / k_use, dtype)
+    mean = s1 * kinv
+    cov = (s2
+           - s1[:, :, :, None] * mean[:, :, None, :]
+           - mean[:, :, :, None] * s1[:, :, None, :]
+           + m[:, :, None, None] * mean[:, :, :, None]
+           * mean[:, :, None, :])
+    return eigh3.smallest_eigvec3(cov * kinv)
+
+
+def _make_normals_cv(k_use: int):
+    @jax.custom_batching.custom_vmap
+    def _cv(points, d2sorted, n_valid):
+        return normals_dense(points, d2sorted, k_use, n_valid)
+
+    @_cv.def_vmap
+    def _rule(axis_size, in_batched, points, d2sorted, n_valid):
+        pb, db, nb = in_batched
+
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(
+                x[None], (axis_size,) + jnp.shape(x))
+        d2b = bc(d2sorted, db)
+        thr = 0.5 * (d2b[:, :, k_use - 1] + d2b[:, :, k_use])
+        out = _normals_fused_batched(
+            bc(points, pb), thr, bc(jnp.asarray(n_valid, jnp.int32), nb),
+            k_use)
+        return out, True
+    return _cv
+
+
+_normals_cv_cache: dict = {}
+
+
+def normals_dense_fused(points, d2sorted, k_use: int, n_valid=None):
+    """normals_dense; under vmap on TPU the O(N^2) reduction lowers to
+    the pallas_moments kernel."""
+    import os
+    if jax.default_backend() != "tpu" or os.environ.get(
+            "SE3_ICP_TPU_NO_PALLAS") or n_valid is None:
+        return normals_dense(points, d2sorted, k_use, n_valid)
+    if k_use not in _normals_cv_cache:
+        _normals_cv_cache[k_use] = _make_normals_cv(k_use)
+    return _normals_cv_cache[k_use](points, d2sorted,
+                                    jnp.asarray(n_valid, jnp.int32))
+
+
+def gicp_covariances_dense_fused(points, d2sorted, k_use: int,
+                                 epsilon: float = 1e-3, n_valid=None):
+    """gicp_covariances_dense with the fused normals path."""
+    normals = normals_dense_fused(points, d2sorted, k_use, n_valid)
+    Rx = rotation_from_e1_to_x(normals)
+    C = jnp.diag(jnp.asarray([epsilon, 1.0, 1.0], points.dtype))
+    return Rx @ C @ Rx.mT
