@@ -42,7 +42,7 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_cpu_baseline.json")
 # 64 saturates one v5e chip (64: 64.2 pairs/s, 128: 65.0; 16: 52.9)
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
-REPS = int(os.environ.get("BENCH_REPS", "5"))
+REPS = int(os.environ.get("BENCH_REPS", "10"))
 
 
 def load_problem():
@@ -97,20 +97,28 @@ def main():
         prof_ctx = contextlib.nullcontext()
     # double-buffered serving loop: pack/dispatch batch N+1 while the
     # device runs batch N; every rep's results land on the host inside
-    # the timed region (one fused fetch each)
+    # the timed region (one fused fetch each).  Per-rep times are
+    # recorded and the MEDIAN is reported: the tunnel/shared-host
+    # environment has multi-hundred-ms noise spikes that would swamp a
+    # total-time average now that a rep is ~400 ms.
     with prof_ctx:
-        t0 = time.time()
+        rep_times = []
         pending = None
         last = None
+        t_prev = time.time()
         for _ in range(REPS):
             nxt = par.register_pairs_async(pair_list, "se3_pt2pl", GOLDEN,
                                            mesh=mesh)
             if pending is not None:
                 last = pending.result()
+                now = time.time()
+                rep_times.append(now - t_prev)
+                t_prev = now
             pending = nxt
         last = pending.result()
-        dt = time.time() - t0
-    pairs_per_s = BATCH * REPS / dt
+        now = time.time()
+        rep_times.append(now - t_prev)
+    pairs_per_s = BATCH / float(np.median(rep_times))
     for r in last:
         assert metrics_host.success(T_gt, r.transformation)
 

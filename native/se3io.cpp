@@ -82,4 +82,46 @@ void se3io_strided_f64_to_f32_xyz(const void* src, long long n,
   }
 }
 
+// Batch packing for the data-parallel registration path: for each of
+// n clouds (contiguous float64 [len,3]), drop non-finite rows, convert
+// to float32, and write into the zero-padded arena out[n][bucket][3];
+// counts[i] receives the number of kept rows.  OpenMP-parallel over
+// clouds (the Python loop doing this was ~half the host time of a
+// 64-pair serving batch).  Returns the max kept count (<= bucket), or
+// -1 if any cloud overflows the bucket.
+long long se3io_pack_pairs(const double* const* ptrs,
+                           const long long* lens, long long n,
+                           long long bucket, float* out,
+                           int* counts) {
+  long long max_count = 0;
+  long long overflow = 0;
+#ifdef _OPENMP
+#pragma omp parallel for reduction(max : max_count) \
+    reduction(+ : overflow) schedule(dynamic)
+#endif
+  for (long long i = 0; i < n; ++i) {
+    const double* src = ptrs[i];
+    float* dst = out + i * bucket * 3;
+    long long kept = 0;
+    const long long len = lens[i];
+    for (long long r = 0; r < len && kept < bucket; ++r) {
+      const double x = src[r * 3 + 0];
+      const double y = src[r * 3 + 1];
+      const double z = src[r * 3 + 2];
+      // finite check without <cmath>: NaN != NaN; inf overflows f32
+      if (!(x - x == 0.0 && y - y == 0.0 && z - z == 0.0)) continue;
+      dst[kept * 3 + 0] = static_cast<float>(x);
+      dst[kept * 3 + 1] = static_cast<float>(y);
+      dst[kept * 3 + 2] = static_cast<float>(z);
+      ++kept;
+    }
+    if (kept >= bucket && len > bucket) overflow += 1;
+    std::memset(dst + kept * 3, 0,
+                sizeof(float) * 3 * (bucket - kept));
+    counts[i] = static_cast<int>(kept);
+    if (kept > max_count) max_count = kept;
+  }
+  return overflow ? -1 : max_count;
+}
+
 }  // extern "C"

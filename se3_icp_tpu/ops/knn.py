@@ -225,10 +225,14 @@ def _topk_method() -> str:
 
 
 # recall target for the approx path; neighborhoods only (never used for
-# the correspondence 1-NN, which stays exact).  0.9 validated: golden
-# max error 0.0002 deg (identical to exact) at 1.6x the throughput of
-# 0.95; raise via env if a dataset proves recall-sensitive.
-APPROX_RECALL = float(os.environ.get("SE3_ICP_TPU_KNN_RECALL", "0.9"))
+# the correspondence 1-NN, which stays exact).  The PartialReduce
+# candidate width l -- and with it the aggregate top-k sort that
+# dominates setup -- scales hard with recall (measured 64x4608, k=92,
+# v5e: recall 0.9 -> 123 ms, 0.65 -> 14 ms per cloud batch).  0.8 keeps
+# golden accuracy bit-for-bit at iteration parity (1.3e-4 deg, 9-11
+# iters, same as 0.9 and as exact) while nearly halving setup; raise
+# via env if a dataset proves recall-sensitive.
+APPROX_RECALL = float(os.environ.get("SE3_ICP_TPU_KNN_RECALL", "0.8"))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "method"))

@@ -122,7 +122,26 @@ def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
 def pack_pairs(pairs, dtype=np.float32, bucket: int = 512):
     """Host-side packing: list of (src_pts, tgt_pts) -> padded batch
     arrays (src [P,Ns,3], n_src [P], tgt [P,Nt,3], n_tgt [P]).
-    Non-finite points are dropped (see registration.sanitize_cloud)."""
+    Non-finite points are dropped (see registration.sanitize_cloud).
+
+    Fast path: the native library packs (sanitize + pad + f64->f32)
+    OpenMP-parallel across clouds -- the serial numpy loop was ~half
+    the host time of a 64-pair serving batch."""
+    if dtype == np.float32:
+        from se3_icp_tpu.utils import native
+        raw_s = [np.asarray(s, np.float64).reshape(-1, 3)
+                 for s, _ in pairs]
+        raw_t = [np.asarray(t, np.float64).reshape(-1, 3)
+                 for _, t in pairs]
+        ns_max = reg._bucket(max(len(s) for s in raw_s), bucket)
+        nt_max = reg._bucket(max(len(t) for t in raw_t), bucket)
+        got_s = native.pack_pairs_f32(raw_s, ns_max)
+        got_t = native.pack_pairs_f32(raw_t, nt_max)
+        if got_s is not None and got_t is not None:
+            src, n_src = got_s
+            tgt, n_tgt = got_t
+            return src, n_src, tgt, n_tgt
+
     pairs = [(reg.sanitize_cloud(s), reg.sanitize_cloud(t))
              for s, t in pairs]
     ns_max = reg._bucket(max(len(s) for s, _ in pairs), bucket)

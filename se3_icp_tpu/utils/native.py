@@ -79,3 +79,37 @@ def read_fixed_block(path, offset: int, count: int,
     if got != nbytes:
         raise ValueError(f"{path}: truncated read ({got} != {nbytes})")
     return out
+
+
+def pack_pairs_f32(clouds, bucket: int):
+    """OpenMP-parallel sanitize+pad+cast of a list of [len,3] float64
+    clouds into a zero-padded float32 arena [n, bucket, 3] (+ kept-row
+    counts).  Returns None when the native library is unavailable (the
+    caller falls back to the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "se3io_pack_pairs"):
+        return None
+    if not hasattr(pack_pairs_f32, "_typed"):
+        lib.se3io_pack_pairs.restype = ctypes.c_longlong
+        lib.se3io_pack_pairs.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        pack_pairs_f32._typed = True
+    n = len(clouds)
+    arrs = [np.ascontiguousarray(c, dtype=np.float64).reshape(-1, 3)
+            for c in clouds]
+    ptrs = (ctypes.c_void_p * n)(
+        *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrs])
+    lens = (ctypes.c_longlong * n)(*[len(a) for a in arrs])
+    out = np.empty((n, bucket, 3), np.float32)
+    counts = np.empty(n, np.int32)
+    got = lib.se3io_pack_pairs(
+        ptrs, lens, n, bucket, out.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p))
+    if got < 0:
+        return None
+    return out, counts
