@@ -362,6 +362,16 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
             _pay_add("conf_t", conf_tgt[:, None], 1)
     payload = jnp.concatenate(_pay_parts, axis=-1)       # [Nt, P]
 
+    # pre-packed dual-phase targets for the fused match kernel: both
+    # phase embeddings are limb-packed/poisoned ONCE here; the kernel
+    # picks the phase per pair via a scalar-prefetched flag, so the
+    # loop body carries no target select/pack work at all
+    use_packed = points_axis is None and knn.use_fused_match()
+    if use_packed:
+        emb_a = tgt_embed_A if is_se3 else tgt_embed_B
+        t6_pair, tn_pair, pay3 = knn.pack_match_targets(
+            emb_a, tgt_embed_B, payload, n_tgt, ns)
+
     # --- loop limits per mode
     if mode == "icp":
         start_switched = True       # R3 NN from the start, no SE3 phase
@@ -431,8 +441,13 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
             e = tgt_embed_B
         if points_axis is None:
             # fused search + matched-row payload: no index gathers in
-            # the hot loop (see knn.nn_match)
-            midx, _, matched = knn.nn_match(q, e, payload, n_tgt)
+            # the hot loop (see knn.nn_match / nn_match_packed)
+            if use_packed:
+                midx, _, matched = knn.nn_match_packed(
+                    q, t6_pair, tn_pair, pay3,
+                    switched.astype(jnp.int32))
+            else:
+                midx, _, matched = knn.nn_match(q, e, payload, n_tgt)
         else:
             # model-parallel hot loop: each device searches its query-row
             # slice against the (replicated) target embedding; the int32

@@ -292,3 +292,35 @@ def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 4096,
 def knn_self(points, k: int, n_valid=None, method: str | None = None):
     """kNN of a cloud against itself (self included at rank 0)."""
     return knn_topk(points, points, k, n_valid, method=method)
+
+
+def use_fused_match() -> bool:
+    """Trace-time gate for the engine's pre-packed fused-match path."""
+    return _use_pallas_batched()
+
+
+def pack_match_targets(targets_a, targets_b, payload, n_targets, nq):
+    from se3_icp_tpu.ops import pallas_knn
+    return pallas_knn.pack_match_targets(targets_a, targets_b, payload,
+                                         n_targets, nq)
+
+
+@jax.custom_batching.custom_vmap
+def nn_match_packed(queries, t6_pair, tn_pair, pay3, phase):
+    """Fused match against pre-packed dual-phase targets (TPU only --
+    guard call sites with ``use_fused_match``).  Unbatched calls run as
+    a batch of one."""
+    from se3_icp_tpu.ops import pallas_knn
+    idx, d2, matched = pallas_knn.nn_match_packed(
+        queries[None], t6_pair[None], tn_pair[None], pay3[None],
+        phase[None])
+    return idx[0], d2[0], matched[0]
+
+
+@nn_match_packed.def_vmap
+def _nn_match_packed_vmap_rule(axis_size, in_batched, queries, t6_pair,
+                               tn_pair, pay3, phase):
+    from se3_icp_tpu.ops import pallas_knn
+    args = [queries, t6_pair, tn_pair, pay3, phase]
+    args = [_bcast(a, b, axis_size) for a, b in zip(args, in_batched)]
+    return pallas_knn.nn_match_packed(*args), (True, True, True)
