@@ -40,12 +40,14 @@ def benchmark_on_saved_data(algorithm: str, folder: str, rot_alpha=3.0,
         "num_fails": fails,
         "success_rate": (n - fails) / n,
         "avg_time_ms": float(np.mean(times)),
+        "median_time_ms": float(np.median(times)),
     }
     print(f"===== Synthetic data results of algorithm: {algorithm} =====")
     print(f"Data folder: {folder}")
     print(f"Num of fails over {n} problems is: {fails}")
     print(f"success rate     = {report['success_rate']}")
-    print(f"avg time overall = {report['avg_time_ms']:.2f} ms")
+    print(f"avg time overall = {report['avg_time_ms']:.2f} ms "
+          f"(median {report['median_time_ms']:.2f} ms)")
     return report
 
 
