@@ -77,6 +77,10 @@ def benchmark_kitti(algorithm: str, folder: str, rot_alpha=3.0, mesh=None,
         "max_abs_tra": float(np.max(abs_tra)),
         "last_frame_rot_error": float(abs_rot[-1]),
         "last_frame_tra_error": float(abs_tra[-1]),
+        # per-pair success under the trajectory-quality rule
+        # (cc::evaluate_trajectory_quality, 2 deg / 0.25)
+        "success_rate": float(np.mean(
+            (np.asarray(rel_rot) < 2.0) & (np.asarray(rel_tra) < 0.25))),
         "avg_time_ms": float(np.mean(times)),
         # steady-state per-pair time: the mean is contaminated by the
         # first batch's compile and by tunnel/compile-queue stalls in

@@ -19,9 +19,21 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+# honor JAX_PLATFORMS=cpu even when an accelerator plugin is
+# registered: on this image the env var alone is silently IGNORED once
+# the axon TPU plugin is present (CLAUDE.md), which left the CLI
+# hanging on a wedged tunnel instead of falling back to CPU.  Only the
+# cpu value is forced -- the image's ambient JAX_PLATFORMS=axon is a
+# plugin alias, not a platform name jax.config accepts.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from se3_icp_tpu.utils.cache import enable_persistent_cache
 from se3_icp_tpu.utils.config import (ALGORITHMS, GOLDEN, LOUNGE,
@@ -87,11 +99,15 @@ def cmd_example(args):
 
 
 def cmd_example_fgr(args):
-    """registration_example_fgr (FGR baseline on the bunny demo problem;
-    visualization omitted -- headless)."""
+    """registration_example_fgr (FGR baseline on the bunny demo problem).
+
+    The reference draws the aligned geometries in an Open3D window
+    (registration_example_fgr.cpp:56-61); headless here, so
+    ``--save-aligned DIR`` preserves the capability by writing
+    source/target/aligned-source PLY artifacts for any viewer."""
     from se3_icp_tpu.datasets import synthetic
     from se3_icp_tpu.models import fgr
-    from se3_icp_tpu.utils import metrics_host
+    from se3_icp_tpu.utils import metrics_host, ply
     from scipy.spatial.transform import Rotation
     rng = np.random.default_rng(1)
     bunny = synthetic.load_bunny(scale=1.0)
@@ -109,6 +125,16 @@ def cmd_example_fgr(args):
     np.savetxt(sys.stdout, T_gt, fmt="%10.6f")
     print(f"SO3 error = "
           f"{metrics_host.angular_error_so3(res.transformation[:3, :3], T_gt[:3, :3]):.4f} deg")
+    if getattr(args, "save_aligned", None):
+        import os
+        d = args.save_aligned
+        os.makedirs(d, exist_ok=True)
+        T = res.transformation
+        ply.write_ply(os.path.join(d, "source.ply"), src)
+        ply.write_ply(os.path.join(d, "target.ply"), tgt)
+        ply.write_ply(os.path.join(d, "source_aligned.ply"),
+                      src @ T[:3, :3].T + T[:3, 3])
+        print(f"Wrote source/target/source_aligned PLYs to {d}")
 
 
 def cmd_create_problem(args):
@@ -274,6 +300,10 @@ def build_parser():
     p = sub.add_parser("example-fgr",
                        help="FGR baseline on the bunny demo problem")
     _add_common(p)
+    p.add_argument("--save-aligned", default=None,
+                   help="write source/target/aligned-source PLYs here "
+                        "(headless stand-in for the reference's Open3D "
+                        "visualization)")
     p.set_defaults(fn=cmd_example_fgr)
 
     p = sub.add_parser("create-problem")

@@ -237,10 +237,12 @@ def fgr_register(source_points, target_points,
                  cfg: FGRConfig | None = None, dtype=jnp.float32):
     """Host-facing FGR entry point (RegistrationResult contract)."""
     from se3_icp_tpu.models.registration import (RegistrationResult,
-                                                 _bucket)
+                                                 _bucket, sanitize_cloud)
     cfg = cfg or FGRConfig()
-    src = np.asarray(source_points, np.float64)
-    tgt = np.asarray(target_points, np.float64)
+    # drop non-finite rows like register_pair does: one NaN point would
+    # poison the kNN distance matrix, normals and FPFH features
+    src = sanitize_cloud(source_points)
+    tgt = sanitize_cloud(target_points)
     ns, nt = len(src), len(tgt)
     src_p = np.zeros((_bucket(ns), 3), dtype)
     src_p[:ns] = src

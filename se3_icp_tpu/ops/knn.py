@@ -214,39 +214,47 @@ def _topk_method() -> str:
     On TPU the hardware PartialReduce (``jax.lax.approx_min_k``) is
     ~7.7x faster than the full-width sort that dominates registration
     setup (measured on v5e, 16x4608x4608, k=90: 36 ms vs 280 ms per
-    batch).  It misses a few true neighbors (recall ~0.97 at
-    target 0.95), which only perturbs TOLDI/normal/covariance
-    neighborhoods -- validated to keep golden-problem accuracy.  Exact
-    everywhere else, and overridable via SE3_ICP_TPU_EXACT_KNN=1.
+    batch).  At the default recall target (see ``approx_recall``) it
+    misses a few true neighbors, which only perturbs
+    TOLDI/normal/covariance neighborhoods -- validated to keep
+    golden-problem accuracy at iteration parity.  Exact everywhere
+    else, and overridable via SE3_ICP_TPU_EXACT_KNN=1.
     """
     if os.environ.get("SE3_ICP_TPU_EXACT_KNN"):
         return "exact"
     return "approx" if jax.default_backend() == "tpu" else "exact"
 
 
-# recall target for the approx path; neighborhoods only (never used for
-# the correspondence 1-NN, which stays exact).  The PartialReduce
-# candidate width l -- and with it the aggregate top-k sort that
-# dominates setup -- scales hard with recall (measured 64x4608, k=92,
-# v5e: recall 0.9 -> 123 ms, 0.65 -> 14 ms per cloud batch).  0.8 keeps
-# golden accuracy bit-for-bit at iteration parity (1.3e-4 deg, 9-11
-# iters, same as 0.9 and as exact) while nearly halving setup; raise
-# via env if a dataset proves recall-sensitive.
-APPROX_RECALL = float(os.environ.get("SE3_ICP_TPU_KNN_RECALL", "0.8"))
+def approx_recall() -> float:
+    """Recall target for the approx setup-kNN path; neighborhoods only
+    (never the correspondence 1-NN, which stays exact).  The
+    PartialReduce candidate width l -- and with it the aggregate top-k
+    sort that dominates setup -- scales hard with recall (measured
+    64x4608, k=92, v5e: recall 0.9 -> 123 ms, 0.65 -> 14 ms per cloud
+    batch).  0.8 keeps golden accuracy bit-for-bit at iteration parity
+    (1.3e-4 deg, 9-11 iters, same as 0.9 and as exact) while nearly
+    halving setup; raise via SE3_ICP_TPU_KNN_RECALL if a dataset proves
+    recall-sensitive (read per call, so it may be set after import --
+    already-traced programs keep their recall, since it is baked into
+    the compiled kernel)."""
+    return float(os.environ.get("SE3_ICP_TPU_KNN_RECALL", "0.8"))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk", "method"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "chunk", "method", "recall"))
 def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 4096,
-             method: str | None = None):
+             method: str | None = None, recall: float | None = None):
     """k smallest-distance neighbors, ascending: (idx [Nq,k], d2 [Nq,k]).
 
     Mirrors FLANN ``SearchKNN`` ordering (closest first, ref:cpp:253-256).
     Used for TOLDI (k=90), normal estimation (k=20/30), and FPFH
     (k=100); runs once per registration.  ``method``: 'exact' (XLA
     top_k sort) or 'approx' (TPU PartialReduce, see ``_topk_method``);
-    None resolves per backend.
+    None resolves per backend.  ``recall``: approx-path recall target,
+    default ``approx_recall()``.
     """
     method = method or _topk_method()
+    recall = recall if recall is not None else approx_recall()
     nq = queries.shape[0]
     # minimal-padding chunking (see nn_argmin_xla): ``chunk`` is a
     # target; split into equal lane-aligned pieces instead
@@ -278,7 +286,7 @@ def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 4096,
                 d2 = jnp.where(col < n_targets, d2,
                                jnp.asarray(1e30, jnp.bfloat16))
             mind, idx = jax.lax.approx_min_k(
-                d2, k, recall_target=APPROX_RECALL, aggregate_to_topk=True)
+                d2, k, recall_target=recall, aggregate_to_topk=True)
             return idx.astype(jnp.int32), mind.astype(queries.dtype)
         d2 = _mask_cols(_pairwise_d2(q, targets), n_targets)
         neg, idx = jax.lax.top_k(-d2, k)
@@ -297,6 +305,43 @@ def knn_self(points, k: int, n_valid=None, method: str | None = None):
 def use_fused_match() -> bool:
     """Trace-time gate for the engine's pre-packed fused-match path."""
     return _use_pallas_batched()
+
+
+def use_thr_knn() -> bool:
+    """Trace-time gate for the sort-free threshold setup path: the
+    Pallas bisection kernel (pallas_moments.neighborhood_thresholds)
+    replaces the sorted setup kNN entirely on TPU.  SE3_ICP_TPU_EXACT_KNN=1
+    (exact sorted neighborhoods) or SE3_ICP_TPU_NO_THR_KNN=1 (A/B the
+    old approx_min_k route) opt out."""
+    return (_use_pallas_batched()
+            and not os.environ.get("SE3_ICP_TPU_EXACT_KNN")
+            and not os.environ.get("SE3_ICP_TPU_NO_THR_KNN"))
+
+
+@jax.custom_batching.custom_vmap
+def neighborhood_thresholds(points, counts, n_valid):
+    """Per-query squared-distance thresholds for the self-inclusive
+    neighborhood sizes ``counts`` [T] -- the sort-free replacement for
+    the setup kNN (TPU only; guard call sites with ``use_thr_knn``).
+    points [N,3], n_valid scalar -> thr [N,T] f32; see
+    pallas_moments.neighborhood_thresholds_batched.  Unbatched calls
+    run as a batch of one."""
+    from se3_icp_tpu.ops import pallas_moments as pm
+    return pm.neighborhood_thresholds_batched(
+        points[None], jnp.asarray(n_valid, jnp.int32)[None],
+        counts[None])[0]
+
+
+@neighborhood_thresholds.def_vmap
+def _neighborhood_thresholds_vmap_rule(axis_size, in_batched, points,
+                                       counts, n_valid):
+    from se3_icp_tpu.ops import pallas_moments as pm
+    pb, cb, nb = in_batched
+    out = pm.neighborhood_thresholds_batched(
+        _bcast(points, pb, axis_size),
+        _bcast(jnp.asarray(n_valid, jnp.int32), nb, axis_size),
+        _bcast(counts, cb, axis_size))
+    return out, True
 
 
 def pack_match_targets(targets_a, targets_b, payload, n_targets, nq):

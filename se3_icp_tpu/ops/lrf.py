@@ -239,10 +239,26 @@ def _toldi_frames_dense_impl(points, d2sorted, n_valid,
     return rot.reshape(-1, 3, 3)[:nq], queries_slice
 
 
+def shot_truncated_count(points, radius: float, max_k: int) -> int:
+    """Host-side validation for the SHOT radius-search emulation: number
+    of points whose true radius neighborhood exceeds the ``max_k`` cap
+    (those neighborhoods are silently truncated to the nearest max_k,
+    diverging from the reference's full radius semantics).  Callers
+    (register_pair) warn when this is nonzero."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+    pts = np.asarray(points)
+    counts = cKDTree(pts).query_ball_point(
+        pts, r=float(radius), return_length=True)
+    return int((counts > max_k).sum())
+
+
 @functools.partial(jax.jit, static_argnames=("max_k",))
 def shot_frames(points, radius: float, max_k: int = 128, n_valid=None):
     """SHOT LRF frames (C4, ref:cpp:121-223), radius neighborhood
-    emulated with a masked top-``max_k`` kNN.
+    emulated with a masked top-``max_k`` kNN (neighborhoods denser than
+    ``max_k`` are truncated to the nearest max_k -- see
+    ``shot_truncated_count`` for the host-side validity check).
 
     Returns (rot [N,3,3] columns x,y,z, origin [N,3]).
     """
@@ -409,13 +425,9 @@ def gicp_covariances_from_neighbors(points, idx, epsilon: float = 1e-3):
 # HBM -- ~115 ms per 64x4608 batch on v5e; the kernels run it in ~10 ms)
 
 def _toldi_fused_batched(points, d2sorted, n_valid):
-    from se3_icp_tpu.ops import pallas_moments as pm
-
     dtype = points.dtype
-    bsz, n, _ = points.shape
     k = d2sorted.shape[2]
     rz = k // 3
-    divisor = jnp.asarray(rz, dtype)             # exact_centroid=False
 
     thr_cen = 0.5 * (d2sorted[:, :, rz - 1] + d2sorted[:, :, rz])
     thr_cov = 0.5 * (d2sorted[:, :, rz] + d2sorted[:, :, rz + 1])
@@ -424,6 +436,22 @@ def _toldi_fused_batched(points, d2sorted, n_valid):
     r2 = jnp.take_along_axis(d2sorted, last[:, None, None],
                              axis=2)[:, :, 0]
     thr_all = r2 * (1.0 + 1e-6) + jnp.asarray(1e-30, dtype)
+    radius = jnp.sqrt(jnp.maximum(r2, 0.0))
+    return _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all,
+                                 radius, rz, n_valid)
+
+
+def _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all, radius,
+                          rz: int, n_valid):
+    """Batched fused TOLDI from explicit squared-distance thresholds
+    (rank sets {self,1..rz-1} / {self,1..rz} / {self,1..k-1}) and the
+    neighborhood radius.  ``rz = k // 3`` is the reference's centroid
+    divisor (quirk #2, ref:cpp:259-265)."""
+    from se3_icp_tpu.ops import pallas_moments as pm
+
+    dtype = points.dtype
+    bsz, n, _ = points.shape
+    divisor = jnp.asarray(rz, dtype)             # exact_centroid=False
 
     mom = pm.moments_batched(points, n_valid, thr_cen, thr_cov, thr_all)
 
@@ -439,7 +467,6 @@ def _toldi_fused_batched(points, d2sorted, n_valid):
     normal = eigh3.smallest_eigvec3(cov)                  # [B,N,3]
 
     arrow = mom["all_sum"] - mom["all_cnt"][:, :, None] * points
-    radius = jnp.sqrt(jnp.maximum(r2, 0.0))
     ndotq = jnp.sum(normal * points, axis=-1)
     w_p, w_sum = pm.axis_sums_batched(points, n_valid, normal, ndotq,
                                       radius, thr_all)
@@ -551,6 +578,97 @@ def gicp_covariances_dense_fused(points, d2sorted, k_use: int,
                                  epsilon: float = 1e-3, n_valid=None):
     """gicp_covariances_dense with the fused normals path."""
     normals = normals_dense_fused(points, d2sorted, k_use, n_valid)
+    Rx = rotation_from_e1_to_x(normals)
+    C = jnp.diag(jnp.asarray([epsilon, 1.0, 1.0], points.dtype))
+    return Rx @ C @ Rx.mT
+
+
+# ---------------------------------------------------------------------
+# Threshold-driven setup consumers (TPU fast path): thresholds come
+# from knn.neighborhood_thresholds (the sort-free Pallas bisection
+# kernel) instead of a sorted kNN -- no index lists, no aggregate
+# top-k sort anywhere in setup.  Call sites gate on knn.use_thr_knn().
+
+def _make_toldi_thr_cv(rz: int):
+    @jax.custom_batching.custom_vmap
+    def _cv(points, thr_cen, thr_cov, thr_k, n_valid):
+        rot = _toldi_fused_from_thr(
+            points[None], thr_cen[None], thr_cov[None], thr_k[None],
+            jnp.sqrt(jnp.maximum(thr_k[None], 0.0)), rz, n_valid[None])
+        return rot[0]
+
+    @_cv.def_vmap
+    def _rule(axis_size, in_batched, points, thr_cen, thr_cov, thr_k,
+              n_valid):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(
+                x[None], (axis_size,) + jnp.shape(x))
+        args = [bc(a, b) for a, b in zip(
+            (points, thr_cen, thr_cov, thr_k,
+             jnp.asarray(n_valid, jnp.int32)), in_batched)]
+        points_b, cen_b, cov_b, k_b, nv_b = args
+        rot = _toldi_fused_from_thr(
+            points_b, cen_b, cov_b, k_b,
+            jnp.sqrt(jnp.maximum(k_b, 0.0)), rz, nv_b)
+        return rot, True
+    return _cv
+
+
+_toldi_thr_cv_cache: dict = {}
+
+
+def toldi_frames_thr(points, thr_cen, thr_cov, thr_k, k: int, n_valid):
+    """TOLDI frames from neighborhood thresholds (TPU only).
+
+    ``thr_cen``/``thr_cov``/``thr_k`` [N]: squared-distance thresholds
+    for the self-inclusive counts rz, rz+1, k (rz = k//3); ``thr_k``
+    doubles as radius^2 (it converges to the k-th neighbor distance
+    from above).  Returns (rot [N,3,3], origins) like
+    toldi_frames_dense."""
+    rz = k // 3
+    if rz not in _toldi_thr_cv_cache:
+        _toldi_thr_cv_cache[rz] = _make_toldi_thr_cv(rz)
+    rot = _toldi_thr_cv_cache[rz](points, thr_cen, thr_cov, thr_k,
+                                  jnp.asarray(n_valid, jnp.int32))
+    return rot, points
+
+
+def _make_normals_thr_cv(k_use: int):
+    @jax.custom_batching.custom_vmap
+    def _cv(points, thr, n_valid):
+        return _normals_fused_batched(points[None], thr[None],
+                                      n_valid[None], k_use)[0]
+
+    @_cv.def_vmap
+    def _rule(axis_size, in_batched, points, thr, n_valid):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(
+                x[None], (axis_size,) + jnp.shape(x))
+        pb, tb, nb = in_batched
+        out = _normals_fused_batched(
+            bc(points, pb), bc(thr, tb),
+            bc(jnp.asarray(n_valid, jnp.int32), nb), k_use)
+        return out, True
+    return _cv
+
+
+_normals_thr_cv_cache: dict = {}
+
+
+def normals_thr(points, thr, k_use: int, n_valid):
+    """PCA normals from a neighborhood threshold (TPU only).  ``thr``
+    [N]: squared-distance threshold for the self-inclusive count
+    ``k_use`` (the mean still divides by k_use, like normals_dense)."""
+    if k_use not in _normals_thr_cv_cache:
+        _normals_thr_cv_cache[k_use] = _make_normals_thr_cv(k_use)
+    return _normals_thr_cv_cache[k_use](points, thr,
+                                        jnp.asarray(n_valid, jnp.int32))
+
+
+def gicp_covariances_thr(points, thr, k_use: int,
+                         epsilon: float = 1e-3, n_valid=None):
+    """GICP covariance init from a neighborhood threshold (TPU only)."""
+    normals = normals_thr(points, thr, k_use, n_valid)
     Rx = rotation_from_e1_to_x(normals)
     C = jnp.diag(jnp.asarray([epsilon, 1.0, 1.0], points.dtype))
     return Rx @ C @ Rx.mT

@@ -252,6 +252,158 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all):
     )
 
 
+# ---------------------------------------------------------------------
+# Fused neighborhood-threshold kernel: replaces the setup kNN entirely.
+#
+# Every dense/fused setup consumer (TOLDI moments, normals, GICP
+# covariances) needs only a DISTANCE THRESHOLD per query -- "the ball
+# that contains my c nearest neighbors" -- never the sorted index list
+# the old path built with jax.lax.approx_min_k (whose aggregate top-k
+# sort dominated setup: ~105 ms of a ~350 ms 64-pair rep on v5e,
+# VERDICT r1 item 1).  This kernel computes those thresholds directly:
+#
+#   1. candidate fold: stream 512-wide target slices through one bf16
+#      limb-packed MXU dot (same exact-f32 trick as the NN kernels) and
+#      fold the shifted distances r = |t|^2 - 2 q.t into a 512-lane
+#      elementwise-min accumulator (lane c = min over targets j with
+#      j % 512 == c).  The c-th order statistic of these candidates
+#      upper-bounds the true c-th neighbor distance; for c <= 90 the
+#      expected lane-collision loss is <= ~8 members, i.e. the derived
+#      ball is a few-% larger than the exact c-ball -- the same
+#      perturbation class as the old recall-0.8 approx kNN, but in the
+#      geometrically cleaner direction (the mask consumers see a true
+#      distance ball of ALL points inside, not a random subset).
+#   2. bisection: per requested count, ~24 halving steps on the
+#      VMEM-resident candidates converge to the c-th candidate value
+#      (count(thr) >= c from above).  No sort anywhere.
+#
+# Counts are self-inclusive (d2=0 always passes) and pre-clamped to
+# n_valid by the wrapper; rows with fewer valid points than the count
+# converge to the bracket top = all valid points, matching the old
+# sentinel-threshold behavior.
+
+_CAND = 512          # candidate lanes (multiple of 128)
+_BISECT_STEPS = 24
+_T_PAD = 8           # threshold-count padding (lane alignment)
+
+
+def _kernel_thresholds(t_real, counts_ref, hib_ref, q6_ref, t6_ref,
+                       tn_ref, out_ref):
+    b = pl.program_id(0)
+    tile_q = q6_ref.shape[1]
+    ntp = t6_ref.shape[1]
+    q6 = q6_ref[0]                                 # [tile_q, 6dp] bf16
+
+    def fold(s, cand):
+        t6 = t6_ref[0, pl.ds(s * _CAND, _CAND), :]
+        tn = tn_ref[0, 0, pl.ds(s * _CAND, _CAND)]
+        prod = jax.lax.dot_general(
+            q6, t6, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        return jnp.minimum(cand, tn[None, :] - 2.0 * prod)
+
+    cand = jax.lax.fori_loop(
+        0, ntp // _CAND, fold,
+        jnp.full((tile_q, _CAND), 3.0e38, jnp.float32))
+    # clamp poisoned lanes (possible when n_valid < _CAND) so the
+    # bracket top stays at the true valid-distance bound
+    cand = jnp.minimum(cand, hib_ref[b])
+    lo0 = jnp.min(cand, axis=1, keepdims=True)     # [tile_q, 1]
+    hi0 = jnp.max(cand, axis=1, keepdims=True)
+
+    cols = []
+    for t in range(t_real):
+        tgt = counts_ref[b, t]
+
+        def step(_, lh):
+            lo, hi = lh
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum((cand <= mid).astype(jnp.float32), axis=1,
+                          keepdims=True)
+            pred = cnt >= tgt
+            return (jnp.where(pred, lo, mid), jnp.where(pred, mid, hi))
+
+        _, hi = jax.lax.fori_loop(0, _BISECT_STEPS, step, (lo0, hi0))
+        cols.append(hi)
+    cols.extend([jnp.zeros((tile_q, 1), jnp.float32)]
+                * (_T_PAD - t_real))
+    out_ref[0] = jnp.concatenate(cols, axis=1)     # [tile_q, _T_PAD]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "t_real"))
+def _thresholds_padded(counts, hib, q6, t6, tn, tile_q: int,
+                       t_real: int):
+    bsz, nqp, _ = q6.shape
+    ntp = t6.shape[1]
+    grid = (bsz, nqp // tile_q)
+    return pl.pallas_call(
+        functools.partial(_kernel_thresholds, t_real),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_q, q6.shape[2]), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, ntp, t6.shape[2]), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, ntp), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, _T_PAD),
+                               lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, nqp, _T_PAD), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * nqp * ntp * (q6.shape[2]
+                                         + 2 * _T_PAD * _BISECT_STEPS
+                                         * _CAND // ntp),
+            bytes_accessed=2 * bsz * (nqp * q6.shape[2]
+                                      + ntp * t6.shape[2]
+                                      + 2 * nqp * _T_PAD),
+            transcendentals=0),
+    )(counts, hib, q6, t6, tn)
+
+
+def neighborhood_thresholds_batched(points, n_valid, counts):
+    """Batched neighborhood-size -> distance-threshold conversion.
+
+    points [B,N,3] f32 (padded rows arbitrary), n_valid [B] int,
+    counts [B,T] int (SELF-INCLUSIVE neighborhood sizes, e.g. the
+    TOLDI rank sets {self, 1..rz-1} -> rz).
+
+    Returns thr [B,N,T] f32 absolute squared-distance thresholds with
+    |{j valid : d2_ij <= thr[b,i,t]}| ~= min(counts[b,t], n_valid[b]);
+    thr converges to the count-th nearest candidate distance from
+    above, so thr of count k also serves as the TOLDI radius^2
+    (distance to the k-th neighbor, ref:cpp:256).
+    """
+    bsz, n, _ = points.shape
+    t_n = counts.shape[1]
+    tile_q = 256
+    pp = _poison_pack(points, n_valid, _CAND)
+    ntp = pp.shape[1]
+    pad_q = (-n) % tile_q
+    qp = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, pad_q),
+                                              (0, 0)))
+    qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
+    tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
+    q6, t6 = _pack_nn_operands(qpp, tpp)
+    tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
+    qn = jnp.sum(qp * qp, axis=-1)                          # [B, Nqp]
+
+    # valid-distance upper bound (shifted space r = d2 - qn <= d2max):
+    # 4 * max|p|^2 over valid rows, +1 so degenerate all-equal clouds
+    # keep a non-empty bracket
+    row = jax.lax.broadcasted_iota(jnp.int32, points.shape[:2], 1)
+    p2 = jnp.sum(points.astype(jnp.float32) ** 2, axis=-1)
+    p2 = jnp.where(row < n_valid[:, None], p2, 0.0)
+    hib = 4.0 * jnp.max(p2, axis=1) + 1.0                   # [B]
+
+    cc = jnp.minimum(counts.astype(jnp.int32),
+                     n_valid[:, None].astype(jnp.int32))
+    cc = jnp.pad(cc, ((0, 0), (0, _T_PAD - t_n)),
+                 constant_values=1).astype(jnp.float32)
+    out = _thresholds_padded(cc, hib, q6, t6, tn, tile_q, t_n)
+    return out[:, :n, :t_n] + qn[:, :n, None]
+
+
 def axis_sums_batched(points, n_valid, normal, ndotq, radius, thr_all):
     """Batched TOLDI x-axis weighted sums.
 

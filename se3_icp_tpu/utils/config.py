@@ -53,6 +53,10 @@ class RegistrationConfig:
     # LRF
     number_of_nn_for_lrf: int = 30       # TOLDI kNN (benchmarks use 90)
     lrf_radius: float = 0.8              # SHOT LRF only (dormant in ref)
+    # SHOT radius search is emulated with a top-k cap (static shapes);
+    # neighborhoods denser than this are truncated -- register_pair
+    # warns host-side when that happens (see lrf.shot_truncated_count)
+    shot_max_k: int = 128
     lrf_method: str = "toldi"            # "toldi" | "shot" (ref has SHOT
     #                                      implemented but commented out,
     #                                      ref:cpp:593-594)

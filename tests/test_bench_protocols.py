@@ -58,6 +58,60 @@ def test_kitti_protocol(kitti_dir):
     assert rep["last_frame_tra_error"] < 0.5
 
 
+@pytest.fixture(scope="module")
+def kitti_hard_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kitti_hard_fix")
+    fixtures.make_kitti_fixture(str(d), max_index=6, n_points=1200,
+                                hard=True)
+    return str(d)
+
+
+def test_kitti_protocol_hard(kitti_hard_dir):
+    """Adversarial LiDAR fixture (VERDICT r1 item 6): ring-pattern
+    scans, ~60-80% inter-frame overlap, range-dependent noise, outlier
+    clusters, and a moving object.  The trimmed se3_pt2pl protocol must
+    still register every pair within the trajectory-quality rule."""
+    from se3_icp_tpu.bench import kitti_bench
+    rep = kitti_bench.benchmark_kitti("se3_pt2pl", kitti_hard_dir,
+                                      dtype=np.float64, max_index=6)
+    assert rep["num_pairs"] == 3
+    assert rep["success_rate"] == 1.0, rep
+    assert rep["mean_rel_rot"] < 2.0, rep
+    assert rep["mean_rel_tra"] < 0.25, rep
+
+
+def test_hard_fixture_is_adversarial(kitti_hard_dir):
+    """The hard fixture must actually exhibit the adversarial regime:
+    partial overlap between consecutive scans and non-trivial outliers
+    (guards against the generator silently degrading to the friendly
+    resample)."""
+    from scipy.spatial import cKDTree
+    from se3_icp_tpu.bench import kitti_bench
+    clouds, poses = kitti_bench.load_kitti(kitti_hard_dir, max_index=6)
+    src, tgt = clouds[1], clouds[0]
+    T12 = np.linalg.inv(poses[0]) @ poses[1]
+    moved = src @ T12[:3, :3].T + T12[:3, 3]
+    d = cKDTree(tgt).query(moved)[0]
+    inlier = (d < 0.25).mean()
+    # genuine partial overlap + ring-resampled surfaces: well below the
+    # friendly fixture's ~1.0 point-identity overlap, but enough shared
+    # structure for the 0.7-overlap trim to work (ground rings at
+    # different ranges between frames depress this point-NN measure
+    # below the true surface overlap)
+    assert 0.3 < inlier < 0.9, inlier
+
+
+def test_lounge_protocol_hard(tmp_path_factory):
+    from se3_icp_tpu.bench import lounge_bench
+    d = str(tmp_path_factory.mktemp("lounge_hard_fix"))
+    fixtures.make_lounge_fixture(d, n_frames=11, n_points=900, hard=True)
+    rep = lounge_bench.benchmark_lounge("se3_gicp_with_cf", d,
+                                        dtype=np.float64)
+    assert rep["num_pairs"] == 2
+    assert rep["avg_angular_SO3_error"] < 2.0
+    assert rep["avg_tra_error"] < 0.25
+
+
 def test_kitti_every_other_pose_line(kitti_dir):
     """07.txt has one row per raw frame; the loader must keep every
     other row so poses align with the step-2 clouds
