@@ -239,10 +239,14 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     # sort-free TPU setup: every consumer needs only the distance
     # threshold of its neighborhood size, so ONE Pallas bisection
     # kernel per cloud (knn.neighborhood_thresholds) replaces the
-    # sorted kNN whose aggregate top-k dominated setup cost
-    use_thr = points_axis is None and knn.use_thr_knn() and (
+    # sorted kNN whose aggregate top-k dominated setup cost.  On the
+    # model-parallel route each device bisects thresholds for its
+    # query-row slice against the replicated cloud and the small
+    # per-point products are all_gathered after the consumers.
+    use_thr = knn.use_thr_knn() and (
         not (is_se3 and cfg.lrf_method != "toldi"))
     thr_src = thr_tgt = None
+    q_src = q_tgt = None
     cpos_src: dict = {}
     cpos_tgt: dict = {}
     if use_thr:
@@ -263,12 +267,22 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
 
         cu_src, cpos_src = _uniq(counts_src)
         cu_tgt, cpos_tgt = _uniq(counts_tgt)
-        if cu_src:
-            thr_src = knn.neighborhood_thresholds(
-                src_c, jnp.asarray(cu_src, jnp.int32), n_src)
-        if cu_tgt:
-            thr_tgt = knn.neighborhood_thresholds(
-                tgt_c, jnp.asarray(cu_tgt, jnp.int32), n_tgt)
+        if points_axis is None:
+            if cu_src:
+                thr_src = knn.neighborhood_thresholds(
+                    src_c, jnp.asarray(cu_src, jnp.int32), n_src)
+            if cu_tgt:
+                thr_tgt = knn.neighborhood_thresholds(
+                    tgt_c, jnp.asarray(cu_tgt, jnp.int32), n_tgt)
+        else:
+            q_src = _my_rows(src_c, points_axis)
+            q_tgt = _my_rows(tgt_c, points_axis)
+            if cu_src:
+                thr_src = knn.neighborhood_thresholds_q(
+                    src_c, q_src, jnp.asarray(cu_src, jnp.int32), n_src)
+            if cu_tgt:
+                thr_tgt = knn.neighborhood_thresholds_q(
+                    tgt_c, q_tgt, jnp.asarray(cu_tgt, jnp.int32), n_tgt)
         idx_src = d2_src = idx_tgt = d2_tgt = None
     elif points_axis is None:
         # +1 column: the dense (gather-free) neighborhood stats recover
@@ -302,11 +316,16 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                 rot_s0, _ = lrf.toldi_frames_thr(
                     src_c, thr_src[:, cpos_src[rz_lrf]],
                     thr_src[:, cpos_src[rz_lrf + 1]],
-                    thr_src[:, cpos_src[klrf]], klrf, n_src)
+                    thr_src[:, cpos_src[klrf]], klrf, n_src,
+                    queries=q_src)
                 rot_t0, _ = lrf.toldi_frames_thr(
                     tgt_c, thr_tgt[:, cpos_tgt[rz_lrf]],
                     thr_tgt[:, cpos_tgt[rz_lrf + 1]],
-                    thr_tgt[:, cpos_tgt[klrf]], klrf, n_tgt)
+                    thr_tgt[:, cpos_tgt[klrf]], klrf, n_tgt,
+                    queries=q_tgt)
+                if points_axis is not None:
+                    rot_s0 = _gather_rows(rot_s0, points_axis)
+                    rot_t0 = _gather_rows(rot_t0, points_axis)
             elif points_axis is None:
                 # gather-free path: masked-matmul neighborhood
                 # reductions (random row gathers are scalar-bound on
@@ -377,7 +396,9 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         if use_thr:
             tgt_normals = lrf.normals_thr(
                 tgt_c, thr_tgt[:, cpos_tgt[cfg.normals_knn]],
-                cfg.normals_knn, n_tgt)
+                cfg.normals_knn, n_tgt, queries=q_tgt)
+            if points_axis is not None:
+                tgt_normals = _gather_rows(tgt_normals, points_axis)
         elif points_axis is None:
             tgt_normals = lrf.normals_dense_fused(tgt_c, d2_tgt,
                                                   cfg.normals_knn, n_tgt)
@@ -389,10 +410,15 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         if use_thr:
             cov_src0 = lrf.gicp_covariances_thr(
                 src_c, thr_src[:, cpos_src[cfg.gicp_normals_knn]],
-                cfg.gicp_normals_knn, cfg.gicp_epsilon, n_src)
+                cfg.gicp_normals_knn, cfg.gicp_epsilon, n_src,
+                queries=q_src)
             cov_tgt = lrf.gicp_covariances_thr(
                 tgt_c, thr_tgt[:, cpos_tgt[cfg.gicp_normals_knn]],
-                cfg.gicp_normals_knn, cfg.gicp_epsilon, n_tgt)
+                cfg.gicp_normals_knn, cfg.gicp_epsilon, n_tgt,
+                queries=q_tgt)
+            if points_axis is not None:
+                cov_src0 = _gather_rows(cov_src0, points_axis)
+                cov_tgt = _gather_rows(cov_tgt, points_axis)
         elif points_axis is None:
             cov_src0 = lrf.gicp_covariances_dense_fused(
                 src_c, d2_src, cfg.gicp_normals_knn, cfg.gicp_epsilon,

@@ -344,6 +344,29 @@ def _neighborhood_thresholds_vmap_rule(axis_size, in_batched, points,
     return out, True
 
 
+@jax.custom_batching.custom_vmap
+def neighborhood_thresholds_q(points, queries, counts, n_valid):
+    """``neighborhood_thresholds`` for a query ROW SLICE of ``points``
+    (model-parallel setup): queries [Nq,3] -> thr [Nq,T]."""
+    from se3_icp_tpu.ops import pallas_moments as pm
+    return pm.neighborhood_thresholds_batched(
+        points[None], jnp.asarray(n_valid, jnp.int32)[None],
+        counts[None], queries=queries[None])[0]
+
+
+@neighborhood_thresholds_q.def_vmap
+def _neighborhood_thresholds_q_vmap_rule(axis_size, in_batched, points,
+                                         queries, counts, n_valid):
+    from se3_icp_tpu.ops import pallas_moments as pm
+    pb, qb, cb, nb = in_batched
+    out = pm.neighborhood_thresholds_batched(
+        _bcast(points, pb, axis_size),
+        _bcast(jnp.asarray(n_valid, jnp.int32), nb, axis_size),
+        _bcast(counts, cb, axis_size),
+        queries=_bcast(queries, qb, axis_size))
+    return out, True
+
+
 def pack_match_targets(targets_a, targets_b, payload, n_targets, nq):
     from se3_icp_tpu.ops import pallas_knn
     return pallas_knn.pack_match_targets(targets_a, targets_b, payload,

@@ -442,35 +442,39 @@ def _toldi_fused_batched(points, d2sorted, n_valid):
 
 
 def _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all, radius,
-                          rz: int, n_valid):
+                          rz: int, n_valid, queries=None):
     """Batched fused TOLDI from explicit squared-distance thresholds
     (rank sets {self,1..rz-1} / {self,1..rz} / {self,1..k-1}) and the
     neighborhood radius.  ``rz = k // 3`` is the reference's centroid
-    divisor (quirk #2, ref:cpp:259-265)."""
+    divisor (quirk #2, ref:cpp:259-265).  ``queries`` [B,Nq,3]:
+    optional query row slice of ``points`` (model-parallel setup);
+    thresholds/radius are then per query row."""
     from se3_icp_tpu.ops import pallas_moments as pm
 
+    q = points if queries is None else queries
     dtype = points.dtype
-    bsz, n, _ = points.shape
+    bsz, nq, _ = q.shape
     divisor = jnp.asarray(rz, dtype)             # exact_centroid=False
 
-    mom = pm.moments_batched(points, n_valid, thr_cen, thr_cov, thr_all)
+    mom = pm.moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
+                             queries=queries)
 
-    cen = mom["cen_sum"] / divisor                        # [B,N,3]
+    cen = mom["cen_sum"] / divisor                        # [B,Nq,3]
     s1 = mom["cov_sum"]
-    s2 = mom["cov_p9"].reshape(bsz, n, 3, 3)
+    s2 = mom["cov_p9"].reshape(bsz, nq, 3, 3)
     m = mom["cov_cnt"]
     cov = (s2
            - s1[:, :, :, None] * cen[:, :, None, :]
            - cen[:, :, :, None] * s1[:, :, None, :]
            + m[:, :, None, None] * cen[:, :, :, None]
            * cen[:, :, None, :])
-    normal = eigh3.smallest_eigvec3(cov)                  # [B,N,3]
+    normal = eigh3.smallest_eigvec3(cov)                  # [B,Nq,3]
 
-    arrow = mom["all_sum"] - mom["all_cnt"][:, :, None] * points
-    ndotq = jnp.sum(normal * points, axis=-1)
+    arrow = mom["all_sum"] - mom["all_cnt"][:, :, None] * q
+    ndotq = jnp.sum(normal * q, axis=-1)
     w_p, w_sum = pm.axis_sums_batched(points, n_valid, normal, ndotq,
-                                      radius, thr_all)
-    scaled = w_p - w_sum[:, :, None] * points
+                                      radius, thr_all, queries=queries)
+    scaled = w_p - w_sum[:, :, None] * q
 
     flip = jnp.sum(normal * arrow, axis=-1) < 0.0
     z = jnp.where(flip[:, :, None], -normal, normal)
@@ -513,19 +517,23 @@ def toldi_frames_dense_fused(points, d2sorted, n_valid):
     return rot, points
 
 
-def _normals_fused_batched(points, thr, n_valid, k_use: int):
+def _normals_fused_batched(points, thr, n_valid, k_use: int,
+                           queries=None):
     """Batched gather-free PCA normals via the moments kernel (one
     threshold mask; self INCLUDED like normals_dense -- the kernel
-    subtracts the self term, so it is added back here)."""
+    subtracts the self term, so it is added back here).  ``queries``:
+    optional query row slice (model-parallel setup)."""
     from se3_icp_tpu.ops import pallas_moments as pm
 
+    q = points if queries is None else queries
     dtype = points.dtype
-    bsz, n, _ = points.shape
-    mom = pm.moments_batched(points, n_valid, thr, thr, thr)
-    p9self = (points[:, :, :, None]
-              * points[:, :, None, :]).reshape(bsz, n, 9)
-    s1 = mom["cov_sum"] + points
-    s2 = (mom["cov_p9"] + p9self).reshape(bsz, n, 3, 3)
+    bsz, nq, _ = q.shape
+    mom = pm.moments_batched(points, n_valid, thr, thr, thr,
+                             queries=queries)
+    p9self = (q[:, :, :, None]
+              * q[:, :, None, :]).reshape(bsz, nq, 9)
+    s1 = mom["cov_sum"] + q
+    s2 = (mom["cov_p9"] + p9self).reshape(bsz, nq, 3, 3)
     m = mom["cov_cnt"] + 1.0
     kinv = jnp.asarray(1.0 / k_use, dtype)
     mean = s1 * kinv
@@ -614,23 +622,59 @@ def _make_toldi_thr_cv(rz: int):
     return _cv
 
 
+def _make_toldi_thr_q_cv(rz: int):
+    @jax.custom_batching.custom_vmap
+    def _cv(points, queries, thr_cen, thr_cov, thr_k, n_valid):
+        rot = _toldi_fused_from_thr(
+            points[None], thr_cen[None], thr_cov[None], thr_k[None],
+            jnp.sqrt(jnp.maximum(thr_k[None], 0.0)), rz, n_valid[None],
+            queries=queries[None])
+        return rot[0]
+
+    @_cv.def_vmap
+    def _rule(axis_size, in_batched, points, queries, thr_cen, thr_cov,
+              thr_k, n_valid):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(
+                x[None], (axis_size,) + jnp.shape(x))
+        args = [bc(a, b) for a, b in zip(
+            (points, queries, thr_cen, thr_cov, thr_k,
+             jnp.asarray(n_valid, jnp.int32)), in_batched)]
+        points_b, q_b, cen_b, cov_b, k_b, nv_b = args
+        rot = _toldi_fused_from_thr(
+            points_b, cen_b, cov_b, k_b,
+            jnp.sqrt(jnp.maximum(k_b, 0.0)), rz, nv_b, queries=q_b)
+        return rot, True
+    return _cv
+
+
 _toldi_thr_cv_cache: dict = {}
+_toldi_thr_q_cv_cache: dict = {}
 
 
-def toldi_frames_thr(points, thr_cen, thr_cov, thr_k, k: int, n_valid):
+def toldi_frames_thr(points, thr_cen, thr_cov, thr_k, k: int, n_valid,
+                     queries=None):
     """TOLDI frames from neighborhood thresholds (TPU only).
 
-    ``thr_cen``/``thr_cov``/``thr_k`` [N]: squared-distance thresholds
+    ``thr_cen``/``thr_cov``/``thr_k`` [Nq]: squared-distance thresholds
     for the self-inclusive counts rz, rz+1, k (rz = k//3); ``thr_k``
     doubles as radius^2 (it converges to the k-th neighbor distance
-    from above).  Returns (rot [N,3,3], origins) like
-    toldi_frames_dense."""
+    from above).  ``queries`` [Nq,3]: optional query row slice of
+    ``points`` (model-parallel setup).  Returns (rot [Nq,3,3], origins)
+    like toldi_frames_dense."""
     rz = k // 3
-    if rz not in _toldi_thr_cv_cache:
-        _toldi_thr_cv_cache[rz] = _make_toldi_thr_cv(rz)
-    rot = _toldi_thr_cv_cache[rz](points, thr_cen, thr_cov, thr_k,
-                                  jnp.asarray(n_valid, jnp.int32))
-    return rot, points
+    nv = jnp.asarray(n_valid, jnp.int32)
+    if queries is None:
+        if rz not in _toldi_thr_cv_cache:
+            _toldi_thr_cv_cache[rz] = _make_toldi_thr_cv(rz)
+        rot = _toldi_thr_cv_cache[rz](points, thr_cen, thr_cov, thr_k,
+                                      nv)
+        return rot, points
+    if rz not in _toldi_thr_q_cv_cache:
+        _toldi_thr_q_cv_cache[rz] = _make_toldi_thr_q_cv(rz)
+    rot = _toldi_thr_q_cv_cache[rz](points, queries, thr_cen, thr_cov,
+                                    thr_k, nv)
+    return rot, queries
 
 
 def _make_normals_thr_cv(k_use: int):
@@ -652,23 +696,51 @@ def _make_normals_thr_cv(k_use: int):
     return _cv
 
 
+def _make_normals_thr_q_cv(k_use: int):
+    @jax.custom_batching.custom_vmap
+    def _cv(points, queries, thr, n_valid):
+        return _normals_fused_batched(points[None], thr[None],
+                                      n_valid[None], k_use,
+                                      queries=queries[None])[0]
+
+    @_cv.def_vmap
+    def _rule(axis_size, in_batched, points, queries, thr, n_valid):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(
+                x[None], (axis_size,) + jnp.shape(x))
+        pb, qb, tb, nb = in_batched
+        out = _normals_fused_batched(
+            bc(points, pb), bc(thr, tb),
+            bc(jnp.asarray(n_valid, jnp.int32), nb), k_use,
+            queries=bc(queries, qb))
+        return out, True
+    return _cv
+
+
 _normals_thr_cv_cache: dict = {}
+_normals_thr_q_cv_cache: dict = {}
 
 
-def normals_thr(points, thr, k_use: int, n_valid):
+def normals_thr(points, thr, k_use: int, n_valid, queries=None):
     """PCA normals from a neighborhood threshold (TPU only).  ``thr``
-    [N]: squared-distance threshold for the self-inclusive count
-    ``k_use`` (the mean still divides by k_use, like normals_dense)."""
-    if k_use not in _normals_thr_cv_cache:
-        _normals_thr_cv_cache[k_use] = _make_normals_thr_cv(k_use)
-    return _normals_thr_cv_cache[k_use](points, thr,
-                                        jnp.asarray(n_valid, jnp.int32))
+    [Nq]: squared-distance threshold for the self-inclusive count
+    ``k_use`` (the mean still divides by k_use, like normals_dense).
+    ``queries`` [Nq,3]: optional query row slice of ``points``."""
+    nv = jnp.asarray(n_valid, jnp.int32)
+    if queries is None:
+        if k_use not in _normals_thr_cv_cache:
+            _normals_thr_cv_cache[k_use] = _make_normals_thr_cv(k_use)
+        return _normals_thr_cv_cache[k_use](points, thr, nv)
+    if k_use not in _normals_thr_q_cv_cache:
+        _normals_thr_q_cv_cache[k_use] = _make_normals_thr_q_cv(k_use)
+    return _normals_thr_q_cv_cache[k_use](points, queries, thr, nv)
 
 
 def gicp_covariances_thr(points, thr, k_use: int,
-                         epsilon: float = 1e-3, n_valid=None):
+                         epsilon: float = 1e-3, n_valid=None,
+                         queries=None):
     """GICP covariance init from a neighborhood threshold (TPU only)."""
-    normals = normals_thr(points, thr, k_use, n_valid)
+    normals = normals_thr(points, thr, k_use, n_valid, queries=queries)
     Rx = rotation_from_e1_to_x(normals)
     C = jnp.diag(jnp.asarray([epsilon, 1.0, 1.0], points.dtype))
     return Rx @ C @ Rx.mT

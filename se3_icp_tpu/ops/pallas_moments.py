@@ -201,22 +201,29 @@ def _pack_feature_block(pp):
     return jnp.concatenate([fh, fm, fl], axis=-1)           # [B,Ntp,48]
 
 
-def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all):
+def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
+                    queries=None):
     """Batched neighborhood moments for three distance thresholds.
 
     points [B,N,3] (padded rows arbitrary), n_valid [B],
-    thr_* [B,N] absolute squared-distance thresholds per query.
+    thr_* [B,Nq] absolute squared-distance thresholds per query.
+    ``queries`` [B,Nq,3]: optional query rows (default: the full cloud;
+    a model-parallel row SLICE otherwise -- must be actual rows of
+    ``points``, since the self term d2=0 is assumed inside every
+    threshold and subtracted exactly).
 
     Returns a dict of per-query sums with the SELF term already
     removed: cen_sum/cen_cnt, cov_sum/cov_p9/cov_cnt,
     all_sum/all_cnt.
     """
+    q_pts = points if queries is None else queries
     bsz, n, _ = points.shape
-    tile_q, tile_t = _pick_tiles(n, n, budget=5 * 1024 * 1024)
+    nq = q_pts.shape[1]
+    tile_q, tile_t = _pick_tiles(nq, n, budget=5 * 1024 * 1024)
     pp = _poison_pack(points, n_valid, tile_t)
     ntp = pp.shape[1]
-    pad_q = (-n) % tile_q
-    qp = jnp.pad(points.astype(jnp.float32),
+    pad_q = (-nq) % tile_q
+    qp = jnp.pad(q_pts.astype(jnp.float32),
                  ((0, 0), (0, pad_q), (0, 0)), constant_values=0.0)
     # pack query/target positions for the exact distance dot
     qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))             # dp=8
@@ -233,7 +240,7 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all):
                      jnp.zeros_like(qn)], axis=-1)          # [B,Nqp,4]
 
     out = _moments_padded(q6, t6, tn, thr, r48, tile_q, tile_t)
-    out = out[:, :n]                                        # [B,N,48]
+    out = out[:, :nq]                                       # [B,Nq,48]
 
     def block(m):
         s = out[:, :, 16 * m:16 * m + 16]
@@ -242,13 +249,13 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all):
     cov_p, cov_p9, cov_c = block(1)
     all_p, _, all_c = block(2)
     # subtract the self term (always inside every threshold: d2 = 0)
-    p9self = (points[:, :, :, None]
-              * points[:, :, None, :]).reshape(bsz, n, 9)
+    p9self = (q_pts[:, :, :, None]
+              * q_pts[:, :, None, :]).reshape(bsz, nq, 9)
     return dict(
-        cen_sum=cen_p - points, cen_cnt=cen_c - 1.0,
-        cov_sum=cov_p - points, cov_p9=cov_p9 - p9self,
+        cen_sum=cen_p - q_pts, cen_cnt=cen_c - 1.0,
+        cov_sum=cov_p - q_pts, cov_p9=cov_p9 - p9self,
         cov_cnt=cov_c - 1.0,
-        all_sum=all_p - points, all_cnt=all_c - 1.0,
+        all_sum=all_p - q_pts, all_cnt=all_c - 1.0,
     )
 
 
@@ -361,27 +368,33 @@ def _thresholds_padded(counts, hib, q6, t6, tn, tile_q: int,
     )(counts, hib, q6, t6, tn)
 
 
-def neighborhood_thresholds_batched(points, n_valid, counts):
+def neighborhood_thresholds_batched(points, n_valid, counts,
+                                    queries=None):
     """Batched neighborhood-size -> distance-threshold conversion.
 
     points [B,N,3] f32 (padded rows arbitrary), n_valid [B] int,
     counts [B,T] int (SELF-INCLUSIVE neighborhood sizes, e.g. the
-    TOLDI rank sets {self, 1..rz-1} -> rz).
+    TOLDI rank sets {self, 1..rz-1} -> rz).  ``queries`` [B,Nq,3]:
+    optional query rows (default: the full cloud; a model-parallel row
+    SLICE of ``points`` otherwise -- the bracket upper bound assumes
+    queries lie inside the cloud's radius).
 
-    Returns thr [B,N,T] f32 absolute squared-distance thresholds with
+    Returns thr [B,Nq,T] f32 absolute squared-distance thresholds with
     |{j valid : d2_ij <= thr[b,i,t]}| ~= min(counts[b,t], n_valid[b]);
     thr converges to the count-th nearest candidate distance from
     above, so thr of count k also serves as the TOLDI radius^2
     (distance to the k-th neighbor, ref:cpp:256).
     """
+    q_pts = points if queries is None else queries
     bsz, n, _ = points.shape
+    nq = q_pts.shape[1]
     t_n = counts.shape[1]
     tile_q = 256
     pp = _poison_pack(points, n_valid, _CAND)
     ntp = pp.shape[1]
-    pad_q = (-n) % tile_q
-    qp = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, pad_q),
-                                              (0, 0)))
+    pad_q = (-nq) % tile_q
+    qp = jnp.pad(q_pts.astype(jnp.float32), ((0, 0), (0, pad_q),
+                                             (0, 0)))
     qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
     tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
     q6, t6 = _pack_nn_operands(qpp, tpp)
@@ -401,25 +414,30 @@ def neighborhood_thresholds_batched(points, n_valid, counts):
     cc = jnp.pad(cc, ((0, 0), (0, _T_PAD - t_n)),
                  constant_values=1).astype(jnp.float32)
     out = _thresholds_padded(cc, hib, q6, t6, tn, tile_q, t_n)
-    return out[:, :n, :t_n] + qn[:, :n, None]
+    return out[:, :nq, :t_n] + qn[:, :nq, None]
 
 
-def axis_sums_batched(points, n_valid, normal, ndotq, radius, thr_all):
+def axis_sums_batched(points, n_valid, normal, ndotq, radius, thr_all,
+                      queries=None):
     """Batched TOLDI x-axis weighted sums.
 
     W_ij = M_all(i,j) * (radius_i - d_ij)^2 * (n_i . (p_j - q_i))^2
-    (self term vanishes: zdot_ii = 0).  Returns (W @ p [B,N,3],
-    sum_j W [B,N]).
+    (self term vanishes: zdot_ii = 0).  ``normal``/``ndotq``/``radius``/
+    ``thr_all`` are per QUERY; ``queries`` [B,Nq,3] optionally restricts
+    the query rows (default: the full cloud).  Returns
+    (W @ p [B,Nq,3], sum_j W [B,Nq]).
     """
+    q_pts = points if queries is None else queries
     bsz, n, _ = points.shape
+    nq = q_pts.shape[1]
     # tighter budget than the moments kernel: the axis body keeps ~4
     # live [tile_q, tile_t] f32 tiles (r, ndp, w, limb temporaries) --
     # 256-row tiles overflowed the 16 MB scoped VMEM by 192 KB
-    tile_q, tile_t = _pick_tiles(n, n, budget=2 * 1024 * 1024)
+    tile_q, tile_t = _pick_tiles(nq, n, budget=2 * 1024 * 1024)
     pp = _poison_pack(points, n_valid, tile_t)
-    pad_q = (-n) % tile_q
-    qp = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, pad_q),
-                                              (0, 0)))
+    pad_q = (-nq) % tile_q
+    qp = jnp.pad(q_pts.astype(jnp.float32), ((0, 0), (0, pad_q),
+                                             (0, 0)))
     qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
     tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
     q6, t6 = _pack_nn_operands(qpp, tpp)
@@ -443,5 +461,5 @@ def axis_sums_batched(points, n_valid, normal, ndotq, radius, thr_all):
     r16 = jnp.concatenate([fh_f.astype(jnp.bfloat16), fl], -1)
 
     out = _axis_padded(q6, t6, n6, tn, aux, r16, tile_q, tile_t)
-    out = out[:, :n]
+    out = out[:, :nq]
     return out[:, :, :3], out[:, :, 3]

@@ -157,6 +157,43 @@ def test_normals_thr_matches_oracle(rng):
     assert (dots > 0.99).mean() > 0.98
 
 
+def test_threshold_query_slice_matches_full(rng):
+    """The model-parallel row-sliced variants must reproduce the
+    corresponding rows of the full-cloud computation exactly (the
+    kernels see identical operands, just fewer query rows)."""
+    from se3_icp_tpu.ops import knn, pallas_moments as pm
+
+    n, k = 512, 90
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pj = jnp.asarray(pts)
+    nv = jnp.asarray(n, jnp.int32)
+    counts = jnp.asarray([30, 31, k], jnp.int32)
+    lo, hi = 128, 256
+    with pltpu.force_tpu_interpret_mode():
+        thr_full = np.asarray(knn.neighborhood_thresholds(pj, counts, nv))
+        thr_slice = np.asarray(knn.neighborhood_thresholds_q(
+            pj, pj[lo:hi], counts, nv))
+    np.testing.assert_allclose(thr_slice, thr_full[lo:hi], rtol=1e-6)
+
+    with pltpu.force_tpu_interpret_mode():
+        rot_full, _ = lrf.toldi_frames_thr(
+            pj, jnp.asarray(thr_full[:, 0]), jnp.asarray(thr_full[:, 1]),
+            jnp.asarray(thr_full[:, 2]), k, nv)
+        rot_slice, _ = lrf.toldi_frames_thr(
+            pj, jnp.asarray(thr_full[lo:hi, 0]),
+            jnp.asarray(thr_full[lo:hi, 1]),
+            jnp.asarray(thr_full[lo:hi, 2]), k, nv,
+            queries=pj[lo:hi])
+        nrm_full = lrf.normals_thr(pj, jnp.asarray(thr_full[:, 0]), 30,
+                                   nv)
+        nrm_slice = lrf.normals_thr(pj, jnp.asarray(thr_full[lo:hi, 0]),
+                                    30, nv, queries=pj[lo:hi])
+    np.testing.assert_allclose(np.asarray(rot_slice),
+                               np.asarray(rot_full)[lo:hi], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nrm_slice),
+                               np.asarray(nrm_full)[lo:hi], atol=1e-5)
+
+
 def test_gicp_covariances_thr_matches_oracle(rng):
     n, k = 512, 20
     pts = rng.normal(size=(n, 3)).astype(np.float32)
