@@ -18,14 +18,33 @@ from se3_icp_tpu.utils.config import GOLDEN
 
 
 def benchmark_on_saved_data(algorithm: str, folder: str, rot_alpha=3.0,
-                            mesh=None, checkpoint=None, dtype=np.float32):
+                            mesh=None, checkpoint=None, dtype=np.float32,
+                            multi_start: int = 0):
     problems = synthetic.load_problem_folder(folder)
     if not problems:
         raise FileNotFoundError(f"no problems found in {folder}")
     cfg = GOLDEN.replace(alpha_rot=rot_alpha)
-    outcomes = common.run_pairs([(p.source, p.target) for p in problems],
-                                algorithm, cfg, mesh=mesh,
-                                checkpoint=checkpoint, dtype=dtype)
+    pair_list = [(p.source, p.target) for p in problems]
+    if multi_start and multi_start > 1:
+        # restart fleet (beyond-reference capability): (pair, start)
+        # flattened into one device batch; per-pair wall time is the
+        # amortized batch time.  See models/multistart.py.
+        import time
+        from se3_icp_tpu.models import multistart
+        t0 = time.time()
+        ms_res = multistart.register_pairs_multistart(
+            pair_list, algorithm, cfg, n_starts=multi_start, mesh=mesh)
+        per_ms = 1000.0 * (time.time() - t0) / len(problems)
+        outcomes = {
+            i: common.PairOutcome(
+                index=i, T_est=r.best.transformation,
+                num_iterations=r.best.num_iterations,
+                num_pure_se3_iterations=r.best.num_pure_se3_iterations,
+                wall_ms=per_ms)
+            for i, r in enumerate(ms_res)}
+    else:
+        outcomes = common.run_pairs(pair_list, algorithm, cfg, mesh=mesh,
+                                    checkpoint=checkpoint, dtype=dtype)
     fails, times = 0, []
     for i, prob in enumerate(problems):
         o = outcomes[i]
@@ -42,6 +61,8 @@ def benchmark_on_saved_data(algorithm: str, folder: str, rot_alpha=3.0,
         "avg_time_ms": float(np.mean(times)),
         "median_time_ms": float(np.median(times)),
     }
+    if multi_start and multi_start > 1:
+        report["multi_start"] = multi_start
     print(f"===== Synthetic data results of algorithm: {algorithm} =====")
     print(f"Data folder: {folder}")
     print(f"Num of fails over {n} problems is: {fails}")

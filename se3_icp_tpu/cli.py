@@ -62,6 +62,15 @@ def cmd_run(args):
     if args.algorithm == "fgr":
         from se3_icp_tpu.models import fgr
         res = fgr.fgr_register(src.points, tgt.points, dtype=dtype)
+    elif getattr(args, "multi_start", 0) and args.multi_start > 1:
+        from se3_icp_tpu.models import multistart
+        ms = multistart.register_pair_multistart(
+            src.points, tgt.points, args.algorithm, GOLDEN,
+            n_starts=args.multi_start)
+        res = ms.best
+        print(f"multi-start: kept start {ms.start_index} of "
+              f"{args.multi_start} (trimmed NN score "
+              f"{ms.scores[ms.start_index]:.6g})")
     else:
         res = reg.register_pair(src.points, tgt.points, args.algorithm,
                                 GOLDEN, dtype=dtype)
@@ -166,7 +175,8 @@ def cmd_bench_synthetic(args):
     else:
         rep = synthetic_bench.benchmark_on_saved_data(
             args.algorithm, args.folder, rot_alpha=args.rot_alpha,
-            checkpoint=args.checkpoint, dtype=np.dtype(args.dtype))
+            checkpoint=args.checkpoint, dtype=np.dtype(args.dtype),
+            multi_start=getattr(args, "multi_start", 0))
     if args.json:
         print(json.dumps(rep))
 
@@ -290,6 +300,8 @@ def build_parser():
                    + ["fgr"])
     p.add_argument("source")
     p.add_argument("target")
+    p.add_argument("--multi-start", type=int, default=0,
+                   help="N rotation starts in one batch, keep the best")
     _add_common(p)
     p.set_defaults(fn=cmd_run)
 
@@ -322,6 +334,10 @@ def build_parser():
         _add_common(p)
         if name == "bench-synthetic":
             p.add_argument("--alpha-sweep", action="store_true")
+            p.add_argument("--multi-start", type=int, default=0,
+                           help="run each problem from N rotation "
+                                "starts in one batch and keep the best "
+                                "(widens the basin; 0/1 = off)")
             p.add_argument("--out-file", default=None)
             p.add_argument("--num-cases", type=int, default=30)
             p.add_argument("--difficulty", default="moderate",
