@@ -94,6 +94,29 @@ def test_multistart_rescues_difficult():
     assert r8.scores.min() < 0.5 * float(np.median(r8.scores))
 
 
+def test_multistart_sharded_over_mesh():
+    """The (pair, start) flattened batch shards over a pairs mesh like
+    any other batch: same selections and transforms as unsharded."""
+    from se3_icp_tpu.parallel import pairs as par
+
+    prob = synthetic.synthetic_problem("difficult", 0.005, seed=2)
+    cfg = RegistrationConfig()
+    mesh = par.default_mesh()
+    r_m = ms.register_pair_multistart(prob.source, prob.target,
+                                      "se3_pt2pl", cfg, n_starts=8,
+                                      mesh=mesh)
+    r_u = ms.register_pair_multistart(prob.source, prob.target,
+                                      "se3_pt2pl", cfg, n_starts=8)
+    assert r_m.start_index == r_u.start_index
+    # sharded vs unsharded compile to different programs whose ULP
+    # differences amplify over a difficult pair's long trajectory;
+    # assert agreement at ICP-trajectory tolerance, not bit level
+    assert metrics_host.angular_error_so3(
+        r_m.best.transformation[:3, :3],
+        r_u.best.transformation[:3, :3]) < 0.5
+    assert metrics_host.success(prob.T_gt, r_m.best.transformation)
+
+
 def test_pairs_multistart_batched():
     """register_pairs_multistart == per-pair register_pair_multistart
     (same flattened batch program, same selections)."""
