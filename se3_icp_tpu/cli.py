@@ -72,8 +72,11 @@ def cmd_run(args):
               f"{args.multi_start} (trimmed NN score "
               f"{ms.scores[ms.start_index]:.6g})")
     else:
+        T0 = None
+        if getattr(args, "initial_transform", None):
+            T0 = np.loadtxt(args.initial_transform).reshape(4, 4)
         res = reg.register_pair(src.points, tgt.points, args.algorithm,
-                                GOLDEN, dtype=dtype)
+                                GOLDEN, dtype=dtype, initial_T=T0)
     print("Estimated transformation = ")
     np.savetxt(sys.stdout, res.transformation, fmt="%10.6f")
     if args.json:
@@ -300,6 +303,13 @@ def build_parser():
                    + ["fgr"])
     p.add_argument("source")
     p.add_argument("target")
+    p.add_argument("--initial-transform", default=None,
+                   help="4x4 warm-start transform file (original "
+                        "coordinates; whitespace text like "
+                        "transformation_gt.txt). The reference always "
+                        "starts at identity -- this enables online-"
+                        "odometry warm starts (icp modes skip the "
+                        "basin search entirely).")
     p.add_argument("--multi-start", type=int, default=0,
                    help="N rotation starts in one batch, keep the best")
     _add_common(p)

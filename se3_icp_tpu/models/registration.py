@@ -123,14 +123,16 @@ def split_cfg(cfg: RegistrationConfig, dtype):
 def register_arrays(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
                     mode: str, variant: str,
                     points_axis: str | None = None,
-                    record_history: bool = False):
+                    record_history: bool = False,
+                    initial_T=None):
     if cfg.anderson_m == 1:
         raise ValueError("anderson_m must be 0 (off) or >= 2 (window)")
     floats, static_cfg = split_cfg(cfg, src.dtype)
     return _register_arrays_jit(src, n_src, tgt, n_tgt, floats,
                                 cfg=static_cfg, mode=mode,
                                 variant=variant, points_axis=points_axis,
-                                record_history=record_history)
+                                record_history=record_history,
+                                T0=initial_T)
 
 
 @functools.partial(
@@ -142,7 +144,8 @@ def _register_arrays_jit(src, n_src, tgt, n_tgt, floats,
                          mode: str, variant: str,
                          points_axis: str | None = None,
                          record_history: bool = False,
-                         setup_only: bool = False):
+                         setup_only: bool = False,
+                         T0=None):
     """Register one padded pair.  Returns (T [4,4] in original coords,
     num_iterations, num_pure_se3_iterations), plus the per-iteration
     accumulated-transform history [max_iters, 4, 4] when
@@ -168,7 +171,7 @@ def _register_arrays_jit(src, n_src, tgt, n_tgt, floats,
     with jax.default_matmul_precision("highest"):
         return _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg,
                                      mode, variant, points_axis,
-                                     record_history, setup_only)
+                                     record_history, setup_only, T0)
 
 
 def _my_rows(x, axis_name):
@@ -185,7 +188,8 @@ def _gather_rows(x_local, axis_name):
 
 def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                           variant, points_axis=None,
-                          record_history=False, setup_only=False):
+                          record_history=False, setup_only=False,
+                          T0=None):
     (f_alpha, f_beta, f_scale_pre, f_mse, f_switch) = floats
     dtype = src.dtype
     ns, nt = src.shape[0], tgt.shape[0]
@@ -496,8 +500,24 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     false_b = n_src < 0
     big = jnp.asarray(_BIG, dtype) + zero_f
 
+    # --- optional warm start: T0 is in ORIGINAL coordinates; the loop
+    #     operates in the preprocessed (centered+scaled) frame, so map
+    #     it through the inverse of to_original (beyond-reference
+    #     capability: the reference always starts at identity,
+    #     ref:cpp:485-489; online odometry / coarse-to-fine warm starts
+    #     skip the basin search)
+    if T0 is None:
+        T_init = jnp.eye(4, dtype=dtype) + zero_f
+    else:
+        T0 = T0.astype(dtype)
+        R0 = T0[:3, :3]
+        tp0 = (T0[:3, 3] + R0 @ cen_s - cen_t) * scaling
+        T_init = (jnp.zeros((4, 4), dtype)
+                  .at[:3, :3].set(R0).at[:3, 3].set(tp0)
+                  .at[3, 3].set(1.0) + zero_f)
+
     state = dict(
-        T=jnp.eye(4, dtype=dtype) + zero_f,
+        T=T_init,
         it=zero_i,
         pure_it=zero_i,
         mse_prev=big, mse_cur=big,
@@ -752,9 +772,13 @@ def sanitize_cloud(points) -> np.ndarray:
 def register_pair(source_points, target_points, algorithm: str = "se3_pt2pl",
                   cfg: RegistrationConfig | None = None,
                   dtype=jnp.float32,
-                  record_history: bool = False) -> RegistrationResult:
+                  record_history: bool = False,
+                  initial_T=None) -> RegistrationResult:
     """Host-facing entry point over the reference's algorithm-name surface
-    (pt2pt/pt2pl/gicp, se3_*, se3_gicp_with_cf, se3_pure_*)."""
+    (pt2pt/pt2pl/gicp, se3_*, se3_gicp_with_cf, se3_pure_*).
+
+    ``initial_T``: optional [4,4] warm start in original coordinates
+    (the reference always starts at identity)."""
     mode, variant = parse_algorithm(algorithm)
     cfg = cfg or RegistrationConfig()
     src = sanitize_cloud(source_points)
@@ -789,7 +813,9 @@ def register_pair(source_points, target_points, algorithm: str = "se3_pt2pl",
     out = register_arrays(
         jnp.asarray(src_p), jnp.asarray(ns, jnp.int32),
         jnp.asarray(tgt_p), jnp.asarray(nt, jnp.int32), cfg, mode, variant,
-        record_history=record_history)
+        record_history=record_history,
+        initial_T=(None if initial_T is None
+                   else jnp.asarray(initial_T, dtype)))
     got = jax.device_get(out)  # one host round trip
     T, it, pure_it = got[:3]
     history = None

@@ -39,20 +39,29 @@ def default_mesh(axis: str = "pairs", devices=None) -> Mesh:
 # travel as one traced vector (registration.split_cfg).
 
 @functools.lru_cache(maxsize=128)
-def _compiled_batch(static_cfg, mode, variant, mesh, axis):
-    def one(s, ns, t, nt, fl):
-        return reg._register_arrays_jit(s, ns, t, nt, fl, cfg=static_cfg,
-                                        mode=mode, variant=variant)
-
-    batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None))
+def _compiled_batch(static_cfg, mode, variant, mesh, axis,
+                    with_t0: bool = False):
+    if with_t0:
+        def one(s, ns, t, nt, fl, t0):
+            return reg._register_arrays_jit(s, ns, t, nt, fl,
+                                            cfg=static_cfg, mode=mode,
+                                            variant=variant, T0=t0)
+        batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None, 0))
+        specs = (P(axis), P(axis), P(axis), P(axis), P(), P(axis))
+    else:
+        def one(s, ns, t, nt, fl):
+            return reg._register_arrays_jit(s, ns, t, nt, fl,
+                                            cfg=static_cfg, mode=mode,
+                                            variant=variant)
+        batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None))
+        specs = (P(axis), P(axis), P(axis), P(axis), P())
     if mesh is None:
         return jax.jit(batched)
 
-    @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=specs,
                        out_specs=P(axis))
-    def _sharded(s, ns, t, nt, fl):
-        return batched(s, ns, t, nt, fl)
+    def _sharded(*args):
+        return batched(*args)
 
     return jax.jit(_sharded)
 
@@ -79,13 +88,17 @@ def _compiled_batch_fgr(fgr_cfg, mesh, axis):
 
 def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
                    algorithm: str, mesh: Mesh | None = None,
-                   axis: str = "pairs"):
+                   axis: str = "pairs", initial_T=None):
     """Register a batch of padded pairs.
 
     src [P,Ns,3], n_src [P], tgt [P,Nt,3], n_tgt [P].  With ``mesh``,
-    the leading pair axis is sharded across it.  Returns
-    (T [P,4,4], iters [P], pure_iters [P]).
+    the leading pair axis is sharded across it.  ``initial_T`` [P,4,4]
+    optionally warm-starts each pair (original coordinates; not
+    supported for fgr).  Returns (T [P,4,4], iters [P], pure_iters [P]).
     """
+    if initial_T is not None and algorithm == "fgr":
+        raise ValueError("initial_T is not supported for fgr (a global "
+                         "method: it estimates from scratch by design)")
     if mesh is not None:
         ndev = mesh.shape[axis]
         p = src.shape[0]
@@ -95,11 +108,15 @@ def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
                 return jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
             src, tgt = padp(src), padp(tgt)
             n_src, n_tgt = padp(n_src), padp(n_tgt)
+            if initial_T is not None:
+                initial_T = padp(initial_T)
         shard = NamedSharding(mesh, P(axis))
         src = jax.device_put(src, shard)
         tgt = jax.device_put(tgt, shard)
         n_src = jax.device_put(n_src, shard)
         n_tgt = jax.device_put(n_tgt, shard)
+        if initial_T is not None:
+            initial_T = jax.device_put(initial_T, shard)
     else:
         pad = 0
         p = src.shape[0]
@@ -112,8 +129,14 @@ def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
     else:
         mode, variant = parse_algorithm(algorithm)
         floats, static_cfg = reg.split_cfg(cfg, src.dtype)
-        out = _compiled_batch(static_cfg, mode, variant, mesh, axis)(
-            src, n_src, tgt, n_tgt, floats)
+        if initial_T is None:
+            out = _compiled_batch(static_cfg, mode, variant, mesh, axis)(
+                src, n_src, tgt, n_tgt, floats)
+        else:
+            out = _compiled_batch(static_cfg, mode, variant, mesh, axis,
+                                  with_t0=True)(
+                src, n_src, tgt, n_tgt, floats,
+                jnp.asarray(initial_T, src.dtype))
     if pad:
         out = tuple(x[:p] for x in out)
     return out
@@ -182,20 +205,26 @@ class PendingBatch:
 
 def register_pairs_async(pairs, algorithm: str, cfg: RegistrationConfig,
                          mesh: Mesh | None = None,
-                         dtype=np.float32) -> PendingBatch:
-    """Pack + dispatch a batch without blocking on the results."""
+                         dtype=np.float32,
+                         initial_Ts=None) -> PendingBatch:
+    """Pack + dispatch a batch without blocking on the results.
+
+    ``initial_Ts``: optional [P,4,4] (or list of [4,4]) warm starts."""
     if mesh is None and jax.device_count() > 1:
         mesh = default_mesh()
     src, n_src, tgt, n_tgt = pack_pairs(pairs, dtype)
+    t0 = (None if initial_Ts is None
+          else jnp.asarray(np.asarray(initial_Ts, dtype)))
     out = register_batch(jnp.asarray(src), jnp.asarray(n_src),
                          jnp.asarray(tgt), jnp.asarray(n_tgt),
-                         cfg, algorithm, mesh)
+                         cfg, algorithm, mesh, initial_T=t0)
     return PendingBatch(out, len(pairs))
 
 
 def register_pairs(pairs, algorithm: str, cfg: RegistrationConfig,
-                   mesh: Mesh | None = None, dtype=np.float32):
+                   mesh: Mesh | None = None, dtype=np.float32,
+                   initial_Ts=None):
     """High-level: list of (src, tgt) numpy clouds -> list of
     RegistrationResult, sharded over ``mesh`` (default: all devices)."""
     return register_pairs_async(pairs, algorithm, cfg, mesh,
-                                dtype).result()
+                                dtype, initial_Ts).result()
