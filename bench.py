@@ -165,23 +165,16 @@ def timed_variant(rep_lists, algorithm, cfg, T_gt, mesh, n_reps,
 
 def timed_setup_only(rep_lists, algorithm, cfg, mesh, n_reps):
     """Median per-rep ms of the engine's setup-only program (everything
-    before the iteration loop; see _register_arrays_impl(setup_only))."""
-    import functools
-    from se3_icp_tpu.models import registration as reg
-    from se3_icp_tpu.utils.config import parse_algorithm
-
-    mode, variant = parse_algorithm(algorithm)
-    floats, static_cfg = reg.split_cfg(cfg, np.float32)
-
-    fn = jax.jit(jax.vmap(
-        functools.partial(reg._register_arrays_jit, cfg=static_cfg,
-                          mode=mode, variant=variant, setup_only=True),
-        in_axes=(0, 0, 0, 0, None)))
+    before the iteration loop; see _register_arrays_impl(setup_only)).
+    Runs through the SAME mesh/shard layout as the full-program timing
+    (par.setup_checksum_batch), so the subtraction full - setup is
+    apples-to-apples on multi-device hosts."""
 
     def dispatch(pair_list):
         src, n_src, tgt, n_tgt = par.pack_pairs(pair_list)
-        return fn(jnp.asarray(src), jnp.asarray(n_src),
-                  jnp.asarray(tgt), jnp.asarray(n_tgt), floats)
+        return par.setup_checksum_batch(
+            jnp.asarray(src), jnp.asarray(n_src), jnp.asarray(tgt),
+            jnp.asarray(n_tgt), cfg, algorithm, mesh)
 
     float(jax.device_get(jnp.sum(dispatch(rep_lists[-1]))))  # warm-up
     rep_times = []

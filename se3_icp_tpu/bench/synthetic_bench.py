@@ -27,13 +27,18 @@ def benchmark_on_saved_data(algorithm: str, folder: str, rot_alpha=3.0,
     pair_list = [(p.source, p.target) for p in problems]
     if multi_start and multi_start > 1:
         # restart fleet (beyond-reference capability): (pair, start)
-        # flattened into one device batch; per-pair wall time is the
-        # amortized batch time.  See models/multistart.py.
+        # chunks batched on device; per-pair wall time is the amortized
+        # batch time.  See models/multistart.py.
         import time
         from se3_icp_tpu.models import multistart
+        if checkpoint:
+            print("warning: --checkpoint is not supported with "
+                  "--multi-start (fleet runs are not resumable); "
+                  "running without a checkpoint")
         t0 = time.time()
         ms_res = multistart.register_pairs_multistart(
-            pair_list, algorithm, cfg, n_starts=multi_start, mesh=mesh)
+            pair_list, algorithm, cfg, n_starts=multi_start, mesh=mesh,
+            dtype=dtype)
         per_ms = 1000.0 * (time.time() - t0) / len(problems)
         outcomes = {
             i: common.PairOutcome(

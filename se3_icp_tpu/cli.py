@@ -59,14 +59,22 @@ def cmd_run(args):
     print(f"source point cloud size = {len(src)}")
     print(f"target point cloud size = {len(tgt)}")
     dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    multi = getattr(args, "multi_start", 0) or 0
+    if multi > 1 and args.algorithm == "fgr":
+        sys.exit("error: --multi-start is not supported with fgr (a "
+                 "global method; it does not use an initialization)")
+    if multi > 1 and getattr(args, "initial_transform", None):
+        sys.exit("error: --multi-start and --initial-transform are "
+                 "mutually exclusive (the restart fleet defines its own "
+                 "starts)")
     if args.algorithm == "fgr":
         from se3_icp_tpu.models import fgr
         res = fgr.fgr_register(src.points, tgt.points, dtype=dtype)
-    elif getattr(args, "multi_start", 0) and args.multi_start > 1:
+    elif multi > 1:
         from se3_icp_tpu.models import multistart
         ms = multistart.register_pair_multistart(
             src.points, tgt.points, args.algorithm, GOLDEN,
-            n_starts=args.multi_start)
+            n_starts=args.multi_start, dtype=np.dtype(args.dtype))
         res = ms.best
         print(f"multi-start: kept start {ms.start_index} of "
               f"{args.multi_start} (trimmed NN score "

@@ -16,8 +16,8 @@ Starts are rotations about the source centroid: the engine's
 preprocessing already centers both clouds (ref:cpp:569-585), so
 translation offsets are absorbed and the basin structure lives on
 SO(3).  The grid is the 24-element octahedral rotation group ordered
-greedily by geodesic coverage (identity first), extended by seeded
-super-Fibonacci-style random quaternions past 24.
+greedily by geodesic coverage (identity first), extended past 24 by a
+super-Fibonacci low-discrepancy SO(3) spiral (Alexa, CVPR 2022).
 """
 
 from __future__ import annotations
@@ -85,17 +85,10 @@ def _ordered_octahedral() -> np.ndarray:
     return G[np.asarray(order)]
 
 
-def so3_grid(n_starts: int, seed: int = 0) -> np.ndarray:
-    """[n,3,3] deterministic rotation starts: identity-led greedy
-    octahedral prefix; past 24, seeded uniform random rotations."""
-    G = _ordered_octahedral()
-    if n_starts <= 24:
-        return np.array(G[:n_starts])
-    rng = np.random.default_rng(seed)
-    q = rng.normal(size=(n_starts - 24, 4))
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """[n,4] unit quaternions (w,x,y,z) -> [n,3,3] rotation matrices."""
     w, x, y, z = q.T
-    R = np.stack([
+    return np.stack([
         np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
                   2 * (x * z + w * y)], -1),
         np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
@@ -103,7 +96,36 @@ def so3_grid(n_starts: int, seed: int = 0) -> np.ndarray:
         np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
                   1 - 2 * (x * x + y * y)], -1),
     ], -2)
-    return np.concatenate([G, R], 0)
+
+
+def super_fibonacci(n: int) -> np.ndarray:
+    """[n,4] super-Fibonacci spiral quaternions (Alexa, CVPR 2022): a
+    deterministic low-discrepancy covering of SO(3) -- the double-cover
+    analog of the Fibonacci sphere lattice."""
+    phi = np.sqrt(2.0)
+    psi = 1.533751168755204288118041  # positive root of x^4 = x + 4
+    s = np.arange(n, dtype=np.float64) + 0.5
+    t = s / n
+    d = 2.0 * np.pi * s
+    r, R = np.sqrt(t), np.sqrt(1.0 - t)
+    a, b = d / phi, d / psi
+    return np.stack([r * np.sin(a), r * np.cos(a),
+                     R * np.sin(b), R * np.cos(b)], -1)
+
+
+def so3_grid(n_starts: int, seed: int = 0) -> np.ndarray:
+    """[n,3,3] deterministic rotation starts: identity-led greedy
+    octahedral prefix; past 24, a super-Fibonacci low-discrepancy
+    SO(3) spiral (composed with one seeded random rotation so distinct
+    seeds give distinct-but-equally-covering fleets)."""
+    G = _ordered_octahedral()
+    if n_starts <= 24:
+        return np.array(G[:n_starts])
+    q = super_fibonacci(n_starts - 24)
+    rng = np.random.default_rng(seed)
+    q0 = rng.normal(size=4)
+    R0 = _quat_to_mat((q0 / np.linalg.norm(q0))[None])[0]
+    return np.concatenate([G, _quat_to_mat(q) @ R0], 0)
 
 
 @functools.partial(jax.jit, static_argnames=("overlap",))
@@ -133,25 +155,40 @@ class MultistartResult:
     rotations: np.ndarray       # [n_starts,3,3] start rotations
 
 
+def _default_mesh(mesh):
+    """Multistart mirrors register_pairs_async's mesh default: on a
+    multi-device host the (pair, start) batch shards across all devices
+    unless the caller pins a mesh explicitly.  ``mesh=False`` forces a
+    single-device (unsharded) run."""
+    if mesh is False:
+        return None
+    if mesh is None and jax.device_count() > 1:
+        from se3_icp_tpu.parallel import pairs as par
+        return par.default_mesh()
+    return mesh
+
+
 def register_pair_multistart(source_points, target_points,
                              algorithm: str = "se3_pt2pl",
                              cfg: RegistrationConfig | None = None,
                              n_starts: int = 8, seed: int = 0,
-                             mesh=None) -> MultistartResult:
+                             mesh=None,
+                             dtype=np.float32) -> MultistartResult:
     """Register one pair from ``n_starts`` rotation initializations in
     a single batched program; return the start with the lowest trimmed
     NN score (plus all scores for diagnostics)."""
     from se3_icp_tpu.parallel import pairs as par
 
     cfg = cfg or RegistrationConfig()
+    mesh = _default_mesh(mesh)
     src = reg.sanitize_cloud(source_points)
     tgt = reg.sanitize_cloud(target_points)
     rots = so3_grid(n_starts, seed)
     c = src.mean(0)
     starts = np.einsum("kij,nj->kni", rots, src - c) + c   # [K,Ns,3]
 
-    T, it, pure = par.register_batch(*_pack_starts(starts, tgt), cfg,
-                                     algorithm, mesh)
+    T, it, pure = par.register_batch(*_pack_starts(starts, tgt, dtype),
+                                     cfg, algorithm, mesh)
     # compose with the start: full transform maps the ORIGINAL source
     M = np.zeros((n_starts, 4, 4))
     M[:, :3, :3] = rots
@@ -181,24 +218,58 @@ def register_pair_multistart(source_points, target_points,
 def register_pairs_multistart(pairs, algorithm: str = "se3_pt2pl",
                               cfg: RegistrationConfig | None = None,
                               n_starts: int = 8, seed: int = 0,
-                              mesh=None) -> list[MultistartResult]:
-    """Multi-start registration of MANY pairs in one batched program:
-    the device batch is (pair, start) flattened -- P*K independent
-    registrations of the same compiled shape, the TPU-idiomatic form of
-    a restart fleet.  Scores for all P*K candidates come from one
-    vmapped trimmed-NN pass; each pair keeps its best start."""
-    from se3_icp_tpu.parallel import pairs as par
+                              mesh=None, dtype=np.float32,
+                              pair_chunk: int | None = None,
+                              verbose: bool = False
+                              ) -> list[MultistartResult]:
+    """Multi-start registration of MANY pairs: the device batch is
+    (pair, start) flattened -- independent registrations of the same
+    compiled shape, the TPU-idiomatic form of a restart fleet.  Scores
+    come from a vmapped trimmed-NN pass; each pair keeps its best start.
 
+    Pairs run in fixed-size chunks so the flattened device batch stays
+    at serving scale (~64 registrations) regardless of ``len(pairs)``
+    -- one unchunked P*K batch of padded clouds can blow past HBM.
+    Every chunk shares one compiled shape (cloud buckets are sized from
+    the FULL list; the tail chunk repeats its last pair)."""
     cfg = cfg or RegistrationConfig()
+    mesh = _default_mesh(mesh)
     rots = so3_grid(n_starts, seed)
     srcs = [reg.sanitize_cloud(s) for s, _ in pairs]
     tgts = [reg.sanitize_cloud(t) for _, t in pairs]
     p_n = len(pairs)
-
+    ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    if pair_chunk is None:
+        # ~64 flat registrations per dispatch (the scale that saturates
+        # a chip in the serving bench), and at least one pair per device
+        pair_chunk = max(1, -(-64 // n_starts), -(-ndev // n_starts))
+    pair_chunk = max(1, min(pair_chunk, p_n))
     ns_max = reg._bucket(max(len(s) for s in srcs))
     nt_max = reg._bucket(max(len(t) for t in tgts))
-    src_b = np.zeros((p_n, n_starts, ns_max, 3), np.float32)
-    tgt_b = np.zeros((p_n, nt_max, 3), np.float32)
+
+    out: list[MultistartResult] = [None] * p_n          # type: ignore
+    for lo in range(0, p_n, pair_chunk):
+        sel = list(range(lo, min(lo + pair_chunk, p_n)))
+        idx = sel + [sel[-1]] * (pair_chunk - len(sel))  # pad tail
+        res = _multistart_chunk([srcs[i] for i in idx],
+                                [tgts[i] for i in idx], rots, algorithm,
+                                cfg, mesh, dtype, ns_max, nt_max)
+        for j, i in enumerate(sel):
+            out[i] = res[j]
+        if verbose:
+            print(f"  multistart pairs {sel[0]}..{sel[-1]} "
+                  f"({len(sel)} x {n_starts} starts)")
+    return out
+
+
+def _multistart_chunk(srcs, tgts, rots, algorithm, cfg, mesh, dtype,
+                      ns_max, nt_max) -> list[MultistartResult]:
+    """One fixed-shape (pair, start) chunk: register, score, select."""
+    from se3_icp_tpu.parallel import pairs as par
+
+    p_n, n_starts = len(srcs), len(rots)
+    src_b = np.zeros((p_n, n_starts, ns_max, 3), dtype)
+    tgt_b = np.zeros((p_n, nt_max, 3), dtype)
     n_src = np.zeros(p_n, np.int32)
     n_tgt = np.zeros(p_n, np.int32)
     M = np.zeros((p_n, n_starts, 4, 4))
@@ -221,11 +292,11 @@ def register_pairs_multistart(pairs, algorithm: str = "se3_pt2pl",
     T_full = (np.asarray(jax.device_get(T), np.float64)
               .reshape(p_n, n_starts, 4, 4) @ M)
 
-    src_p = np.zeros((p_n, ns_max, 3), np.float32)
+    src_p = np.zeros((p_n, ns_max, 3), dtype)
     for i, s in enumerate(srcs):
         src_p[i, :len(s)] = s
     scores = np.asarray(jax.device_get(_score_transforms_pairs(
-        jnp.asarray(T_full, jnp.float32), jnp.asarray(src_p),
+        jnp.asarray(T_full, dtype), jnp.asarray(src_p),
         jnp.asarray(n_src), jnp.asarray(tgt_b), jnp.asarray(n_tgt),
         float(cfg.estimated_overlap))))        # [P,K]
     it = np.asarray(jax.device_get(it)).reshape(p_n, n_starts)
@@ -249,14 +320,14 @@ def _score_transforms_pairs(T_pk, src, n_src, tgt, n_tgt, overlap: float):
         T_pk, src, n_src, tgt, n_tgt, overlap)
 
 
-def _pack_starts(starts: np.ndarray, tgt: np.ndarray):
+def _pack_starts(starts: np.ndarray, tgt: np.ndarray, dtype=np.float32):
     """Padded batch arrays for K rotated copies of one source against
     one shared target (no per-copy sanitize: inputs already clean)."""
     k, ns, _ = starts.shape
     nt = len(tgt)
-    src_b = np.zeros((k, reg._bucket(ns), 3), np.float32)
+    src_b = np.zeros((k, reg._bucket(ns), 3), dtype)
     src_b[:, :ns] = starts
-    tgt_b = np.zeros((k, reg._bucket(nt), 3), np.float32)
+    tgt_b = np.zeros((k, reg._bucket(nt), 3), dtype)
     tgt_b[:, :nt] = tgt
     return (jnp.asarray(src_b), jnp.full(k, ns, np.int32),
             jnp.asarray(tgt_b), jnp.full(k, nt, np.int32))

@@ -356,12 +356,18 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                 rot_s0 = _gather_rows(rot_s0, points_axis)
                 rot_t0 = _gather_rows(rot_t0, points_axis)
         else:  # SHOT LRF (dormant alternative in the reference, C4)
-            rot_s0, _ = lrf.shot_frames(src_c, cfg.lrf_radius,
-                                        max_k=cfg.shot_max_k,
-                                        n_valid=n_src)
-            rot_t0, _ = lrf.shot_frames(tgt_c, cfg.lrf_radius,
-                                        max_k=cfg.shot_max_k,
-                                        n_valid=n_tgt)
+            if cfg.shot_exact:
+                rot_s0, _ = lrf.shot_frames_dense(src_c, cfg.lrf_radius,
+                                                  n_valid=n_src)
+                rot_t0, _ = lrf.shot_frames_dense(tgt_c, cfg.lrf_radius,
+                                                  n_valid=n_tgt)
+            else:
+                rot_s0, _ = lrf.shot_frames(src_c, cfg.lrf_radius,
+                                            max_k=cfg.shot_max_k,
+                                            n_valid=n_src)
+                rot_t0, _ = lrf.shot_frames(tgt_c, cfg.lrf_radius,
+                                            max_k=cfg.shot_max_k,
+                                            n_valid=n_tgt)
         frot_s0 = rot_s0 * alpha                     # [Ns,3,3]
         ftra_s0 = src_c * beta                       # [Ns,3]
         # target 12-D embedding, built once: rotation block alpha-weighted;
@@ -783,10 +789,11 @@ def register_pair(source_points, target_points, algorithm: str = "se3_pt2pl",
     cfg = cfg or RegistrationConfig()
     src = sanitize_cloud(source_points)
     tgt = sanitize_cloud(target_points)
-    if cfg.lrf_method == "shot" and mode != "icp":
-        # the SHOT radius search is emulated with a static top-k cap;
-        # validate against the true radius semantics on the
+    if cfg.lrf_method == "shot" and mode != "icp" and not cfg.shot_exact:
+        # the capped SHOT route emulates the radius search with a static
+        # top-k; validate against the true radius semantics on the
         # preprocessed (centered+scaled) clouds the engine will see
+        # (the default shot_exact path has no cap and needs no check)
         import warnings
         cen_s, cen_t = src.mean(0), tgt.mean(0)
         r = max(np.linalg.norm(src - cen_s, axis=1).max(),

@@ -285,12 +285,14 @@ def shot_frames(points, radius: float, max_k: int = 128, n_valid=None):
         dots = jnp.einsum("nki,ni->nk", diffs, axis)
         s = jnp.sum((dots >= 0) & in_r, axis=1)
         s2 = 2 * s - m
-        # median tie-break (ref:cpp:183-194): 5 samples centered at the
-        # median-rank neighbor; ranks here are ascending by distance with
-        # self at 0, so valid neighbors occupy ranks 1..m.
+        # median tie-break (ref:cpp:183-194): 5 samples at neighbor
+        # positions med-2..med+2 of the SELF-EXCLUSIVE ascending list
+        # (diff_vectors[medianIndex - i]); ranks here are self-INCLUSIVE
+        # (self at 0, neighbors 1..m), so position q maps to rank q+1.
         med = m // 2
         offs = jnp.arange(-2, 3)
-        tie_rank = jnp.clip(med[:, None] - offs[None, :], 0, max_k - 1)
+        tie_rank = jnp.clip(med[:, None] + 1 - offs[None, :], 1,
+                            max_k - 1)
         tie_dots = jnp.take_along_axis(dots, tie_rank, axis=1)
         s_tie = jnp.sum(tie_dots >= 0, axis=1)
         flip_tie = s_tie < 3
@@ -302,6 +304,102 @@ def shot_frames(points, radius: float, max_k: int = 128, n_valid=None):
     y_plus = jnp.cross(z_plus, x_plus)
     rot = jnp.stack([x_plus, y_plus, z_plus], axis=-1)
     return rot, points
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "tie_iters"))
+def shot_frames_dense(points, radius: float, n_valid=None,
+                      chunk: int = 1024, tie_iters: int = 40):
+    """SHOT LRF frames with EXACT radius semantics -- no neighbor cap.
+
+    Replaces ``shot_frames``'s top-``max_k`` radius emulation (which
+    silently truncates neighborhoods denser than the cap) with the
+    gather-free masked-matmul pattern of the TOLDI/normals dense paths:
+      * the (radius - d)-weighted covariance is three [C,N]x[N,*]
+        matmuls over the radius mask (reduction expanded about the
+        query point, so it equals sum w (p-q)(p-q)^T exactly);
+      * the sign-disambiguation counts are masked indicator sums;
+      * the 5-sample median-rank tie-break band (neighbor positions
+        med-2..med+2 of the self-exclusive ascending list,
+        ref:cpp:183-194) is recovered sort-free by bisecting the
+        neighbor-count function for the two bracketing order
+        statistics -- the same idea as the setup threshold kernel.
+    Reference: computeSingleSHOTSE3Frame, ref:cpp:121-223.  Boundary
+    deviation (documented): when the band clips at the list ends
+    (m < 5) the reference indexes out of bounds; here the band is the
+    clipped intersection with valid positions (fewer than 5 samples).
+    Ties in distance at the band edge include all tied points.
+
+    Returns (rot [N,3,3] columns x,y,z, origin [N,3]).
+    """
+    dtype = points.dtype
+    n = points.shape[0]
+    colv = jnp.ones(n, bool) if n_valid is None else (
+        jnp.arange(n) < n_valid)
+    r2 = jnp.asarray(radius * radius, dtype)
+    P9 = (points[:, :, None] * points[:, None, :]).reshape(n, 9)
+    pad = (-n) % chunk
+    qs = jnp.pad(points, ((0, pad), (0, 0)))
+    gidx = jnp.arange(n + pad)
+
+    def one(args):
+        q, gi = args
+        c = q.shape[0]
+        D2 = knn._pairwise_d2(q, points)                     # [C,N]
+        mask = ((D2 <= r2) & colv[None, :]
+                & (gi[:, None] != jnp.arange(n)[None, :]))   # skip self
+        d = jnp.sqrt(jnp.maximum(D2, 0.0))
+        w = jnp.where(mask, radius - d, 0.0).astype(dtype)
+        S0 = jnp.sum(w, axis=1)
+        S1 = w @ points                                      # [C,3]
+        S2 = (w @ P9).reshape(c, 3, 3)
+        cov = (S2 - S1[:, :, None] * q[:, None, :]
+               - q[:, :, None] * S1[:, None, :]
+               + S0[:, None, None] * q[:, :, None] * q[:, None, :])
+        cov = cov / jnp.maximum(S0, 1e-30)[:, None, None]
+        _, vecs = eigh3.eigh3(cov)
+        x_plus = vecs[..., 2]                                # largest
+        z_plus = vecs[..., 0]                                # smallest
+        m = jnp.sum(mask, axis=1)                            # [C] int32
+
+        # median band thresholds: the c-th smallest neighbor d2 for
+        # c = med-2 (below band) and med+3 (through band), by bisection
+        med = m // 2
+        c_lo = jnp.clip(med - 2, 0, m)
+        c_hi = jnp.clip(med + 3, 0, m)
+
+        def thr_for(count):
+            def body(_, lh):
+                lo, hi = lh
+                mid = 0.5 * (lo + hi)
+                cnt = jnp.sum(mask & (D2 <= mid[:, None]), axis=1)
+                return (jnp.where(cnt < count, mid, lo),
+                        jnp.where(cnt >= count, mid, hi))
+            lo0 = jnp.zeros(c, dtype)
+            hi0 = jnp.full(c, r2, dtype)
+            _, hi = jax.lax.fori_loop(0, tie_iters, body, (lo0, hi0))
+            # count==0 -> band opens at -inf so d2==0 duplicates stay in
+            return jnp.where(count == 0, jnp.full(c, -jnp.inf, dtype), hi)
+        t_lo = thr_for(c_lo)
+        t_hi = thr_for(c_hi)
+        band = mask & (D2 > t_lo[:, None]) & (D2 <= t_hi[:, None])
+
+        def _disambiguate(axis):
+            dots = (jnp.einsum("ni,ci->cn", points, axis)
+                    - jnp.sum(q * axis, -1)[:, None])
+            pos = dots >= 0
+            s2 = 2 * jnp.sum(pos & mask, axis=1) - m
+            s_tie = jnp.sum(pos & band, axis=1)
+            flip = jnp.where(s2 == 0, s_tie < 3, s2 < 0)
+            return jnp.where(flip[:, None], -axis, axis)
+
+        x_d = _disambiguate(x_plus)
+        z_d = _disambiguate(z_plus)
+        y_d = jnp.cross(z_d, x_d)
+        return jnp.stack([x_d, y_d, z_d], axis=-1)
+
+    rot = jax.lax.map(one, (qs.reshape(-1, chunk, 3),
+                            gidx.reshape(-1, chunk)))
+    return rot.reshape(-1, 3, 3)[:n], points
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -597,55 +695,42 @@ def gicp_covariances_dense_fused(points, d2sorted, k_use: int,
 # kernel) instead of a sorted kNN -- no index lists, no aggregate
 # top-k sort anywhere in setup.  Call sites gate on knn.use_thr_knn().
 
-def _make_toldi_thr_cv(rz: int):
+def _make_batched_cv(batched_impl):
+    """custom_vmap wrapper around a natively batched TPU kernel path:
+    unbatched calls run as a batch of one; under vmap, unbatched args
+    broadcast to the batch and the kernel is invoked ONCE (never
+    vmap-of-pallas).  ``batched_impl`` takes every argument batched on
+    axis 0 and returns one batched array; callers pass valid counts
+    already coerced to int32."""
     @jax.custom_batching.custom_vmap
-    def _cv(points, thr_cen, thr_cov, thr_k, n_valid):
-        rot = _toldi_fused_from_thr(
-            points[None], thr_cen[None], thr_cov[None], thr_k[None],
-            jnp.sqrt(jnp.maximum(thr_k[None], 0.0)), rz, n_valid[None])
-        return rot[0]
+    def _cv(*args):
+        return batched_impl(*(a[None] for a in args))[0]
 
     @_cv.def_vmap
-    def _rule(axis_size, in_batched, points, thr_cen, thr_cov, thr_k,
-              n_valid):
+    def _rule(axis_size, in_batched, *args):
         def bc(x, b):
             return x if b else jnp.broadcast_to(
                 x[None], (axis_size,) + jnp.shape(x))
-        args = [bc(a, b) for a, b in zip(
-            (points, thr_cen, thr_cov, thr_k,
-             jnp.asarray(n_valid, jnp.int32)), in_batched)]
-        points_b, cen_b, cov_b, k_b, nv_b = args
-        rot = _toldi_fused_from_thr(
-            points_b, cen_b, cov_b, k_b,
-            jnp.sqrt(jnp.maximum(k_b, 0.0)), rz, nv_b)
-        return rot, True
+        out = batched_impl(*(bc(a, b) for a, b in zip(args, in_batched)))
+        return out, True
     return _cv
+
+
+def _make_toldi_thr_cv(rz: int):
+    def impl(points, thr_cen, thr_cov, thr_k, n_valid):
+        return _toldi_fused_from_thr(
+            points, thr_cen, thr_cov, thr_k,
+            jnp.sqrt(jnp.maximum(thr_k, 0.0)), rz, n_valid)
+    return _make_batched_cv(impl)
 
 
 def _make_toldi_thr_q_cv(rz: int):
-    @jax.custom_batching.custom_vmap
-    def _cv(points, queries, thr_cen, thr_cov, thr_k, n_valid):
-        rot = _toldi_fused_from_thr(
-            points[None], thr_cen[None], thr_cov[None], thr_k[None],
-            jnp.sqrt(jnp.maximum(thr_k[None], 0.0)), rz, n_valid[None],
-            queries=queries[None])
-        return rot[0]
-
-    @_cv.def_vmap
-    def _rule(axis_size, in_batched, points, queries, thr_cen, thr_cov,
-              thr_k, n_valid):
-        def bc(x, b):
-            return x if b else jnp.broadcast_to(
-                x[None], (axis_size,) + jnp.shape(x))
-        args = [bc(a, b) for a, b in zip(
-            (points, queries, thr_cen, thr_cov, thr_k,
-             jnp.asarray(n_valid, jnp.int32)), in_batched)]
-        points_b, q_b, cen_b, cov_b, k_b, nv_b = args
-        rot = _toldi_fused_from_thr(
-            points_b, cen_b, cov_b, k_b,
-            jnp.sqrt(jnp.maximum(k_b, 0.0)), rz, nv_b, queries=q_b)
-        return rot, True
-    return _cv
+    def impl(points, queries, thr_cen, thr_cov, thr_k, n_valid):
+        return _toldi_fused_from_thr(
+            points, thr_cen, thr_cov, thr_k,
+            jnp.sqrt(jnp.maximum(thr_k, 0.0)), rz, n_valid,
+            queries=queries)
+    return _make_batched_cv(impl)
 
 
 _toldi_thr_cv_cache: dict = {}
@@ -678,43 +763,16 @@ def toldi_frames_thr(points, thr_cen, thr_cov, thr_k, k: int, n_valid,
 
 
 def _make_normals_thr_cv(k_use: int):
-    @jax.custom_batching.custom_vmap
-    def _cv(points, thr, n_valid):
-        return _normals_fused_batched(points[None], thr[None],
-                                      n_valid[None], k_use)[0]
-
-    @_cv.def_vmap
-    def _rule(axis_size, in_batched, points, thr, n_valid):
-        def bc(x, b):
-            return x if b else jnp.broadcast_to(
-                x[None], (axis_size,) + jnp.shape(x))
-        pb, tb, nb = in_batched
-        out = _normals_fused_batched(
-            bc(points, pb), bc(thr, tb),
-            bc(jnp.asarray(n_valid, jnp.int32), nb), k_use)
-        return out, True
-    return _cv
+    def impl(points, thr, n_valid):
+        return _normals_fused_batched(points, thr, n_valid, k_use)
+    return _make_batched_cv(impl)
 
 
 def _make_normals_thr_q_cv(k_use: int):
-    @jax.custom_batching.custom_vmap
-    def _cv(points, queries, thr, n_valid):
-        return _normals_fused_batched(points[None], thr[None],
-                                      n_valid[None], k_use,
-                                      queries=queries[None])[0]
-
-    @_cv.def_vmap
-    def _rule(axis_size, in_batched, points, queries, thr, n_valid):
-        def bc(x, b):
-            return x if b else jnp.broadcast_to(
-                x[None], (axis_size,) + jnp.shape(x))
-        pb, qb, tb, nb = in_batched
-        out = _normals_fused_batched(
-            bc(points, pb), bc(thr, tb),
-            bc(jnp.asarray(n_valid, jnp.int32), nb), k_use,
-            queries=bc(queries, qb))
-        return out, True
-    return _cv
+    def impl(points, queries, thr, n_valid):
+        return _normals_fused_batched(points, thr, n_valid, k_use,
+                                      queries=queries)
+    return _make_batched_cv(impl)
 
 
 _normals_thr_cv_cache: dict = {}

@@ -40,19 +40,21 @@ def default_mesh(axis: str = "pairs", devices=None) -> Mesh:
 
 @functools.lru_cache(maxsize=128)
 def _compiled_batch(static_cfg, mode, variant, mesh, axis,
-                    with_t0: bool = False):
+                    with_t0: bool = False, setup_only: bool = False):
     if with_t0:
         def one(s, ns, t, nt, fl, t0):
             return reg._register_arrays_jit(s, ns, t, nt, fl,
                                             cfg=static_cfg, mode=mode,
-                                            variant=variant, T0=t0)
+                                            variant=variant, T0=t0,
+                                            setup_only=setup_only)
         batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None, 0))
         specs = (P(axis), P(axis), P(axis), P(axis), P(), P(axis))
     else:
         def one(s, ns, t, nt, fl):
             return reg._register_arrays_jit(s, ns, t, nt, fl,
                                             cfg=static_cfg, mode=mode,
-                                            variant=variant)
+                                            variant=variant,
+                                            setup_only=setup_only)
         batched = jax.vmap(one, in_axes=(0, 0, 0, 0, None))
         specs = (P(axis), P(axis), P(axis), P(axis), P())
     if mesh is None:
@@ -140,6 +142,35 @@ def register_batch(src, n_src, tgt, n_tgt, cfg: RegistrationConfig,
     if pad:
         out = tuple(x[:p] for x in out)
     return out
+
+
+def setup_checksum_batch(src, n_src, tgt, n_tgt,
+                         cfg: RegistrationConfig, algorithm: str,
+                         mesh: Mesh | None = None, axis: str = "pairs"):
+    """Dispatch the engine's setup-only program (everything before the
+    iteration loop) over the SAME mesh/shard layout as register_batch,
+    returning a [P] per-pair checksum.  Timing this against the full
+    program gives the setup/loop phase split (bench.py BENCH_PHASES) --
+    it must run through the identical shard_map, or a multi-device full
+    time would be compared against a single-device setup time."""
+    mode, variant = parse_algorithm(algorithm)
+    floats, static_cfg = reg.split_cfg(cfg, src.dtype)
+    p = src.shape[0]
+    if mesh is not None:
+        ndev = mesh.shape[axis]
+        pad = (-p) % ndev
+        if pad:
+            def padp(x):
+                return jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+            src, tgt = padp(src), padp(tgt)
+            n_src, n_tgt = padp(n_src), padp(n_tgt)
+        shard = NamedSharding(mesh, P(axis))
+        src, tgt = jax.device_put(src, shard), jax.device_put(tgt, shard)
+        n_src = jax.device_put(n_src, shard)
+        n_tgt = jax.device_put(n_tgt, shard)
+    out = _compiled_batch(static_cfg, mode, variant, mesh, axis,
+                          setup_only=True)(src, n_src, tgt, n_tgt, floats)
+    return out[:p]
 
 
 def pack_pairs(pairs, dtype=np.float32, bucket: int = 512):

@@ -53,9 +53,12 @@ class RegistrationConfig:
     # LRF
     number_of_nn_for_lrf: int = 30       # TOLDI kNN (benchmarks use 90)
     lrf_radius: float = 0.8              # SHOT LRF only (dormant in ref)
-    # SHOT radius search is emulated with a top-k cap (static shapes);
-    # neighborhoods denser than this are truncated -- register_pair
-    # warns host-side when that happens (see lrf.shot_truncated_count)
+    # SHOT neighborhoods: exact radius semantics via the dense
+    # masked-matmul path (lrf.shot_frames_dense) by default.  With
+    # shot_exact=False the radius search is emulated with a top-k cap
+    # (shot_max_k); neighborhoods denser than the cap are truncated and
+    # register_pair warns host-side (see lrf.shot_truncated_count).
+    shot_exact: bool = True
     shot_max_k: int = 128
     lrf_method: str = "toldi"            # "toldi" | "shot" (ref has SHOT
     #                                      implemented but commented out,

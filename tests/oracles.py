@@ -138,3 +138,38 @@ def trimmed_mask_oracle(distances, ratio):
     mask = np.zeros(n, dtype=bool)
     mask[order[:count]] = True
     return mask
+
+
+def shot_frame_oracle(points, query_idx, radius):
+    """computeSingleSHOTSE3Frame (ref:cpp:121-223), literal: ascending
+    radius list with the center at position 0 skipped, (radius - d)
+    covariance weights, sign disambiguation with the 5-sample
+    median-rank tie-break (out-of-range samples skipped -- the
+    reference indexes out of bounds there).  Returns rot [3,3]."""
+    p = np.asarray(points, np.float64)
+    center = p[query_idx]
+    d2 = np.sum((p - center) ** 2, axis=1)
+    order = [j for j in np.argsort(d2, kind="stable")
+             if d2[j] <= radius * radius and j != query_idx]
+    diffs = p[order] - center                    # ascending by distance
+    d = np.sqrt(d2[order])
+    w = radius - d
+    cov = (w[:, None, None] * diffs[:, :, None] * diffs[:, None, :]
+           ).sum(0) / max(w.sum(), 1e-30)
+    _, vecs = np.linalg.eigh(cov)
+    x_plus, z_plus = vecs[:, 2], vecs[:, 0]
+    m = len(order)
+
+    def disamb(a):
+        dots = diffs @ a
+        s2 = 2 * int((dots >= 0).sum()) - m
+        if s2 == 0:
+            med = m // 2
+            s_tie = sum(int(dots[med - i] >= 0) for i in range(-2, 3)
+                        if 0 <= med - i < m)
+            return -a if s_tie < 3 else a
+        return -a if s2 < 0 else a
+
+    x_plus = disamb(x_plus)
+    z_plus = disamb(z_plus)
+    return np.stack([x_plus, np.cross(z_plus, x_plus), z_plus], -1)

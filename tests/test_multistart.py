@@ -55,7 +55,8 @@ def test_single_start_matches_register_pair():
     prob = synthetic.synthetic_problem("moderate", 0.005, seed=11)
     cfg = RegistrationConfig()
     r_ms = ms.register_pair_multistart(prob.source, prob.target,
-                                       "se3_pt2pl", cfg, n_starts=1)
+                                       "se3_pt2pl", cfg, n_starts=1,
+                                       mesh=False)
     assert r_ms.start_index == 0
 
     src = reg.sanitize_cloud(prob.source)
@@ -106,7 +107,8 @@ def test_multistart_sharded_over_mesh():
                                       "se3_pt2pl", cfg, n_starts=8,
                                       mesh=mesh)
     r_u = ms.register_pair_multistart(prob.source, prob.target,
-                                      "se3_pt2pl", cfg, n_starts=8)
+                                      "se3_pt2pl", cfg, n_starts=8,
+                                      mesh=False)
     assert r_m.start_index == r_u.start_index
     # sharded vs unsharded compile to different programs whose ULP
     # differences amplify over a difficult pair's long trajectory;
@@ -134,3 +136,42 @@ def test_pairs_multistart_batched():
         assert r.start_index == single.start_index
         np.testing.assert_allclose(r.best.transformation,
                                    single.best.transformation, atol=1e-5)
+
+
+def test_pairs_multistart_chunked_matches_unchunked():
+    """Chunking the (pair, start) fleet (the HBM guard: a big problem
+    list must not flatten into one unbounded device batch) must not
+    change selections or transforms, including the padded tail chunk.
+    Easy problems at GOLDEN: the winning start converges, so scores are
+    well-separated and the comparison is stable across the two compiled
+    batch shapes (non-converging junk solutions would be ULP-unstable
+    between programs)."""
+    from se3_icp_tpu.utils.config import GOLDEN
+
+    probs = [synthetic.synthetic_problem("easy", 0.002, seed=s)
+             for s in (3, 4, 5)]
+    pl = [(p.source, p.target) for p in probs]
+    full = ms.register_pairs_multistart(pl, "se3_pt2pl", GOLDEN,
+                                        n_starts=3, pair_chunk=3)
+    chunked = ms.register_pairs_multistart(pl, "se3_pt2pl", GOLDEN,
+                                           n_starts=3, pair_chunk=2)
+    for p, a, b in zip(probs, full, chunked):
+        assert a.start_index == b.start_index
+        assert metrics_host.success(p.T_gt, b.best.transformation)
+        # the two chunk sizes are different compiled/shard shapes whose
+        # ULP differences amplify over the trajectory (~1e-4 observed);
+        # selections must be identical, transforms trajectory-close
+        np.testing.assert_allclose(a.best.transformation,
+                                   b.best.transformation, atol=1e-3)
+
+
+def test_multistart_dtype_float64():
+    """The dtype knob reaches the engine (was silently float32)."""
+    from se3_icp_tpu.utils.config import GOLDEN
+
+    prob = synthetic.synthetic_problem("easy", 0.002, seed=3)
+    r = ms.register_pair_multistart(prob.source, prob.target,
+                                    "se3_pt2pl", GOLDEN, n_starts=2,
+                                    dtype=np.float64)
+    assert r.start_index == 0
+    assert metrics_host.success(prob.T_gt, r.best.transformation)

@@ -114,3 +114,21 @@ def test_batch_2d_mesh():
     T = np.asarray(T)
     for p, Ti in zip(probs, T):
         assert bool(metrics.success(p.T_gt, Ti))
+
+
+def test_setup_checksum_sharded_matches_unsharded():
+    """The phase-timing setup program (bench.py BENCH_PHASES) must run
+    the same math sharded and unsharded -- including a pair count that
+    needs mesh padding (5 pairs on 8 devices)."""
+    mesh = par.default_mesh()
+    probs = _problems(5, seed0=50)
+    src, n_src, tgt, n_tgt = par.pack_pairs(
+        [(p.source, p.target) for p in probs])
+    args = (jnp.asarray(src), jnp.asarray(n_src), jnp.asarray(tgt),
+            jnp.asarray(n_tgt))
+    chk_m = np.asarray(par.setup_checksum_batch(*args, GOLDEN,
+                                                "se3_pt2pl", mesh))
+    chk_u = np.asarray(par.setup_checksum_batch(*args, GOLDEN,
+                                                "se3_pt2pl", None))
+    assert chk_m.shape == (5,) and chk_u.shape == (5,)
+    np.testing.assert_allclose(chk_m, chk_u, rtol=1e-6)
