@@ -287,6 +287,19 @@ def cmd_lrf_quality(args):
                           "num_corrs": int(len(errs))}))
 
 
+def cmd_bench_scaling(args):
+    """Data-parallel weak-scaling sweep over the device ladder
+    (bench/scaling_bench.py; BASELINE.md's >=80% efficiency target)."""
+    from se3_icp_tpu.bench import scaling_bench
+    rep = scaling_bench.run_scaling(
+        algorithm=args.algorithm, per_device=args.per_device,
+        reps=args.reps, cloud=args.cloud)
+    print(f"devices {rep['device_counts']} -> pairs/s "
+          f"{rep['pairs_per_s']} (efficiency {rep['efficiency']})")
+    if args.json:
+        print(json.dumps(rep))
+
+
 def cmd_eval_traj(args):
     from se3_icp_tpu.utils import metrics, ply
     gt = ply.read_trajectory_12col(args.gt)
@@ -389,6 +402,21 @@ def build_parser():
     p.add_argument("est")
     _add_common(p)
     p.set_defaults(fn=cmd_eval_traj)
+
+    p = sub.add_parser("bench-scaling",
+                       help="data-parallel weak-scaling sweep over the "
+                            "device ladder (pairs/s + efficiency)")
+    p.add_argument("--algorithm", default="se3_pt2pl",
+                   choices=ALGORITHMS + ("fgr",))
+    p.add_argument("--per-device", type=int, default=8,
+                   help="pairs per device (weak scaling)")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--cloud", default="golden",
+                   choices=["golden", "easy"],
+                   help="golden: 4167-pt protocol clouds; easy: small "
+                        "synthetic clouds (fast mechanics check)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_bench_scaling)
 
     p = sub.add_parser("lrf-quality",
                        help="LRF rotational-consistency diagnostic "

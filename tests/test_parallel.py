@@ -132,3 +132,20 @@ def test_setup_checksum_sharded_matches_unsharded():
                                                 "se3_pt2pl", None))
     assert chk_m.shape == (5,) and chk_u.shape == (5,)
     np.testing.assert_allclose(chk_m, chk_u, rtol=1e-6)
+
+
+def test_scaling_bench_mechanics():
+    """bench-scaling sweeps the device ladder and reports positive
+    rates + normalized efficiency (mechanics only on CPU: virtual
+    devices share the physical cores)."""
+    from se3_icp_tpu.bench import scaling_bench
+
+    assert scaling_bench.device_ladder(1) == [1]
+    assert scaling_bench.device_ladder(6) == [1, 2, 4, 6]
+    assert scaling_bench.device_ladder(8) == [1, 2, 4, 8]
+    rep = scaling_bench.run_scaling(per_device=1, reps=1, cloud="easy",
+                                    verbose=False)
+    assert rep["device_counts"] == [1, 2, 4, 8]
+    assert all(r > 0 for r in rep["pairs_per_s"])
+    assert rep["efficiency"][0] == 1.0
+    assert rep["platform"] == "cpu"
