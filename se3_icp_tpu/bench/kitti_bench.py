@@ -31,19 +31,63 @@ def load_kitti(folder: str, max_index=1100, step=2):
     return clouds, poses
 
 
+def _run_pairs_online(pairs, algorithm, cfg, dtype=np.float32,
+                      verbose=True):
+    """Serial online-odometry pattern (beyond-reference capability):
+    frames arrive one at a time and each registration warm-starts from
+    the PREVIOUS pair's relative transform (constant-velocity
+    assumption -- scan-to-scan motion is smooth at sensor rate).  This
+    is the single-pair LATENCY path; the batched ``common.run_pairs``
+    is the THROUGHPUT path.  The first pair runs cold.  Returns the
+    same {index: PairOutcome} surface as run_pairs."""
+    import time
+
+    import jax.numpy as jnp
+
+    from se3_icp_tpu.models import registration as reg
+
+    jdt = jnp.float64 if np.dtype(dtype) == np.float64 else jnp.float32
+    out = {}
+    T_prev = None
+    for i, (s, t) in enumerate(pairs):
+        t0 = time.time()
+        r = reg.register_pair(s, t, algorithm, cfg, dtype=jdt,
+                              initial_T=T_prev)
+        wall = (time.time() - t0) * 1e3
+        T_prev = r.transformation
+        out[i] = common.PairOutcome(i, r.transformation,
+                                    r.num_iterations,
+                                    r.num_pure_se3_iterations, wall)
+        if verbose and (i < 3 or (i + 1) % 50 == 0):
+            print(f"  online frame {i}: {wall:.1f} ms, "
+                  f"{r.num_iterations} iters")
+    return out
+
+
 def benchmark_kitti(algorithm: str, folder: str, rot_alpha=3.0, mesh=None,
                     checkpoint=None, dtype=np.float32, max_index=1100,
-                    save_traj=None):
+                    save_traj=None, online=False):
     """``save_traj``: optional path; writes the estimated ABSOLUTE
     trajectory (accumulated scan-to-scan transforms, one 12-number row
-    per kept frame, same format as 07.txt) for ``eval-traj``."""
+    per kept frame, same format as 07.txt) for ``eval-traj``.
+
+    ``online``: serial frame-at-a-time processing with a constant-
+    velocity warm start from the previous pair (see
+    ``_run_pairs_online``); reports latency instead of batched
+    throughput."""
     clouds, poses = load_kitti(folder, max_index)
     # source = cloud[i+1], target = cloud[i] (:130-131)
     pairs = [(clouds[i + 1], clouds[i]) for i in range(len(clouds) - 1)]
     cfg = (KITTI_VANILLA if algorithm in ("pt2pt", "pt2pl", "gicp")
            else KITTI_SE3).replace(alpha_rot=rot_alpha)
-    outcomes = common.run_pairs(pairs, algorithm, cfg, mesh=mesh,
-                                checkpoint=checkpoint, dtype=dtype)
+    if online:
+        if algorithm == "fgr":
+            raise ValueError("--online warm starts do not apply to fgr "
+                             "(a global method)")
+        outcomes = _run_pairs_online(pairs, algorithm, cfg, dtype=dtype)
+    else:
+        outcomes = common.run_pairs(pairs, algorithm, cfg, mesh=mesh,
+                                    checkpoint=checkpoint, dtype=dtype)
 
     rel_rot, rel_tra, abs_rot, abs_tra, times = [], [], [], [], []
     traj = [np.eye(4)]
@@ -86,6 +130,9 @@ def benchmark_kitti(algorithm: str, folder: str, rot_alpha=3.0, mesh=None,
         # first batch's compile and by tunnel/compile-queue stalls in
         # this environment; the median batch is the honest serving rate
         "median_time_ms": float(np.median(times)),
+        "mean_iterations": float(np.mean(
+            [outcomes[i].num_iterations for i in range(len(pairs))])),
+        "online": bool(online),
     }
     print(f"===== Kitti sequence 07 results of algorithm: "
           f"{algorithm} =====")

@@ -222,7 +222,8 @@ def cmd_bench_kitti(args):
     rep = kitti_bench.benchmark_kitti(
         args.algorithm, args.folder, rot_alpha=args.rot_alpha,
         checkpoint=args.checkpoint, dtype=np.dtype(args.dtype),
-        max_index=args.max_index, save_traj=args.save_traj)
+        max_index=args.max_index, save_traj=args.save_traj,
+        online=args.online)
     if args.json:
         print(json.dumps(rep))
 
@@ -380,6 +381,11 @@ def build_parser():
                            help="write the estimated absolute "
                                 "trajectory (12-col rows; feed to "
                                 "eval-traj)")
+            p.add_argument("--online", action="store_true",
+                           help="serial frame-at-a-time odometry with "
+                                "a constant-velocity warm start from "
+                                "the previous pair (latency mode; "
+                                "pt2pl converges in a few iterations)")
         # every benchmark can generate its own (synthetic stand-in)
         # dataset in the reference's on-disk layout
         p.add_argument("--generate", action="store_true")

@@ -124,3 +124,21 @@ def test_kitti_every_other_pose_line(kitti_dir):
         os.path.join(kitti_dir, "Sequence_07", "07.txt"))
     assert len(clouds) == 4
     np.testing.assert_allclose(poses[1], raw[2])
+
+
+def test_kitti_online_odometry(kitti_dir):
+    """Online mode (serial, constant-velocity warm start from the
+    previous pair) matches the batched protocol's accuracy and cuts
+    iterations on the warm-started frames (plain pt2pl skips the
+    SE(3) basin search entirely when warm)."""
+    from se3_icp_tpu.bench import kitti_bench
+    online = kitti_bench.benchmark_kitti("pt2pl", kitti_dir,
+                                         dtype=np.float64, max_index=6,
+                                         online=True)
+    cold = kitti_bench.benchmark_kitti("pt2pl", kitti_dir,
+                                       dtype=np.float64, max_index=6)
+    assert online["online"] and not cold["online"]
+    assert online["num_pairs"] == 3
+    assert online["mean_rel_rot"] < 2.0
+    assert online["mean_rel_tra"] < 0.25
+    assert online["mean_iterations"] <= cold["mean_iterations"]
