@@ -127,3 +127,24 @@ def test_points_route_fused_on_tpu():
     rel = metrics_host.angular_error_so3(r.transformation[:3, :3],
                                          r0.transformation[:3, :3])
     assert rel < 0.01, rel
+
+
+def test_shot_dense_matches_oracle_on_tpu():
+    """shot_frames_dense (exact radius semantics, f32 on chip) against
+    the literal numpy oracle -- including neighborhoods beyond the old
+    128 cap.  f32 eigenvectors of well-conditioned covariances are good
+    to ~1e-3; the sign disambiguation is discrete and must agree
+    exactly away from ties."""
+    import sys
+    sys.path.insert(0, "tests")
+    import oracles
+
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(400, 3))
+    radius = 2.0
+    assert lrf.shot_truncated_count(pts, radius, 128) > 0
+    rot, _ = lrf.shot_frames_dense(jnp.asarray(pts, jnp.float32), radius)
+    rot = np.asarray(jax.device_get(rot))
+    ref = np.stack([oracles.shot_frame_oracle(pts, i, radius)
+                    for i in range(len(pts))])
+    np.testing.assert_allclose(rot, ref, atol=2e-3)
