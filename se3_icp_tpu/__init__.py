@@ -31,15 +31,41 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # late imports so that utils/ops stay importable standalone
-    if name in ("RegistrationResult", "register_pair", "register_arrays"):
+    if name in ("RegistrationResult", "register_pair", "register_arrays",
+                "sanitize_cloud"):
         from se3_icp_tpu.models import registration
         return getattr(registration, name)
+    if name in ("register_pairs", "register_pairs_async", "default_mesh",
+                "PendingBatch"):
+        from se3_icp_tpu.parallel import pairs
+        return getattr(pairs, name)
+    if name in ("register_pair_multistart", "register_pairs_multistart"):
+        from se3_icp_tpu.models import multistart
+        return getattr(multistart, name)
+    if name == "fgr_register":
+        from se3_icp_tpu.models import fgr
+        return fgr.fgr_register
+    if name == "GOLDEN":
+        from se3_icp_tpu.utils.config import GOLDEN
+        return GOLDEN
+    if name in ("read_ply", "write_ply"):
+        from se3_icp_tpu.utils import ply
+        return getattr(ply, name)
     raise AttributeError(name)
 
 __all__ = [
-    "RegistrationConfig",
-    "RegistrationResult",
-    "register_pair",
-    "register_arrays",
+    # config
+    "RegistrationConfig", "GOLDEN",
+    # single pair
+    "RegistrationResult", "register_pair", "register_arrays",
+    "sanitize_cloud",
+    # batched / sharded serving
+    "register_pairs", "register_pairs_async", "PendingBatch",
+    "default_mesh",
+    # restart fleets + global baseline
+    "register_pair_multistart", "register_pairs_multistart",
+    "fgr_register",
+    # IO
+    "read_ply", "write_ply",
     "__version__",
 ]
