@@ -239,3 +239,40 @@ def test_rigid_equivariance_e2e():
     tra = metrics_host.translation_error(r2.transformation[:3, 3],
                                          T_expected[:3, 3])
     assert rot < 0.5 and tra < 0.05, (rot, tra)
+
+
+def test_engine_fuzz_degenerate_and_random():
+    """Robustness net: random and degenerate inputs must never produce
+    non-finite or non-rigid transforms, and iteration counts must stay
+    within the caps (+1: the hybrid switch can overshoot by one).  One
+    static config + 512-point bucket everywhere, so the whole sweep
+    shares a handful of compiled programs."""
+    import numpy as np
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.utils.config import RegistrationConfig
+
+    cfg = RegistrationConfig(max_num_iterations=12,
+                             max_num_se3_iterations=4)
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(200, 3))
+    nan_cloud = base.copy()
+    nan_cloud[::17] = np.nan
+    cases = [
+        ("random", base, rng.normal(size=(230, 3))),
+        ("identical", base, base.copy()),
+        ("tiny", rng.normal(size=(8, 3)), rng.normal(size=(9, 3))),
+        ("coincident_tgt", base, np.zeros((50, 3))),
+        ("nan_rows", nan_cloud, base + 0.1),
+        ("huge_scale", base * 1e6, base * 1e6 + 1e4),
+    ]
+    for alg in ("se3_pt2pl", "se3_gicp_with_cf", "icp_pt2pt"):
+        for name, s, t in cases:
+            r = reg.register_pair(s, t, alg.replace("icp_", "")
+                                  if alg.startswith("icp_") else alg,
+                                  cfg)
+            T = r.transformation
+            R = T[:3, :3]
+            assert np.isfinite(T).all(), (alg, name)
+            assert np.abs(R @ R.T - np.eye(3)).max() < 1e-3, (alg, name)
+            assert abs(np.linalg.det(R) - 1.0) < 1e-3, (alg, name)
+            assert r.num_iterations <= 12 + 4 + 1, (alg, name)
