@@ -31,6 +31,90 @@ def load_kitti(folder: str, max_index=1100, step=2):
     return clouds, poses
 
 
+def analyze_kitti(folder: str, max_index=1100):
+    """The reference's dormant KITTI dataset analyses
+    (benchmark_kitti.cpp:395-585, commented out in main :615-617):
+
+      * registration difficulty: mean NN distance of each pair BEFORE
+        and AFTER the GT transform, plus a top-70% trimmed mean to
+        suppress non-overlap outliers
+        (evaluate_kitti_registration_difficulty);
+      * Chamfer distance (Fan et al. squared form) of the GT-aligned
+        pairs (evaluate_lounge_avg_chamfer_distance -- the reference
+        reuses the lounge analysis on the KITTI folder).
+
+    NN distances run on-device through the engine's brute-force kernel;
+    clouds pad to one shared bucket so every pair reuses one compiled
+    program."""
+    import jax.numpy as jnp
+
+    from se3_icp_tpu.models import registration as reg
+    from se3_icp_tpu.ops import knn as knn_ops
+
+    clouds, poses = load_kitti(folder, max_index)
+    nb = reg._bucket(max(len(c) for c in clouds))
+
+    def nn_d(q, t):
+        qp = np.zeros((nb, 3), np.float32)
+        qp[:len(q)] = q
+        tp = np.zeros((nb, 3), np.float32)
+        tp[:len(t)] = t
+        tv = np.arange(nb) < len(t)
+        d2 = np.asarray(knn_ops.nn_distances(
+            jnp.asarray(qp), jnp.asarray(tp),
+            jnp.asarray(tv)))[:len(q)]
+        return np.sqrt(np.maximum(d2, 0.0))
+
+    start_d, avg_d, avg_d70, avg_ch = [], [], [], []
+    for i in range(len(clouds) - 1):
+        src, tgt = clouds[i + 1], clouds[i]
+        gt = np.linalg.inv(poses[i]) @ poses[i + 1]
+        start_d.append(float(nn_d(src, tgt).mean()))
+        moved = src @ gt[:3, :3].T + gt[:3, 3]
+        d_lr = nn_d(moved, tgt)
+        d_rl = nn_d(tgt, moved)
+        avg_d.append(float(d_lr.mean()))
+        k70 = max(1, int(0.7 * len(d_lr)))
+        avg_d70.append(float(np.sort(d_lr)[:k70].mean()))
+        avg_ch.append(float((d_lr ** 2).mean() + (d_rl ** 2).mean()))
+        print(f"starting_distance mean =  {start_d[-1]}")
+        print(f"after_transform_distance mean =  {avg_d[-1]}")
+        print(f"after_transform_distance mean (top 70%) =  {avg_d70[-1]}")
+        print("---------------------------------------------")
+    report = {
+        "num_pairs": len(clouds) - 1,
+        "avg_starting_distance": float(np.mean(start_d)),
+        "avg_point_cloud_distance": float(np.mean(avg_d)),
+        "avg_point_cloud_distance_top70": float(np.mean(avg_d70)),
+        "avg_chamfer_distance": float(np.mean(avg_ch)),
+    }
+    print("=============================================")
+    print(f"Overall average point cloud distance = "
+          f"{report['avg_point_cloud_distance']}")
+    print(f"Overall average point cloud distance (top 70%) = "
+          f"{report['avg_point_cloud_distance_top70']}")
+    print(f"Overall average chamfer distance = "
+          f"{report['avg_chamfer_distance']}")
+    return report
+
+
+def kitti_alpha_sweep(algorithm: str, folder: str, out_file=None,
+                      mesh=None, max_index=1100, dtype=np.float32):
+    """benchmark_different_rot_scales (benchmark_kitti.cpp:387-393):
+    the full hybrid alpha grid over the KITTI protocol."""
+    reports = []
+    for alpha in common.hybrid_alpha_grid():
+        rep = benchmark_kitti(algorithm, folder, rot_alpha=alpha,
+                              mesh=mesh, max_index=max_index,
+                              dtype=dtype)
+        reports.append(rep)
+        if out_file:
+            import json
+            with open(out_file, "w") as f:
+                json.dump(reports, f, indent=1)
+    return reports
+
+
 def _run_pairs_online(pairs, algorithm, cfg, dtype=np.float32,
                       verbose=True):
     """Serial online-odometry pattern (beyond-reference capability):

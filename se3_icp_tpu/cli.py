@@ -219,6 +219,19 @@ def cmd_bench_kitti(args):
                                     max_index=args.max_index)
         print(f"synthetic KITTI-layout fixture written to {args.folder}")
         return
+    if args.analyze:
+        rep = kitti_bench.analyze_kitti(args.folder,
+                                        max_index=args.max_index)
+        if args.json:
+            print(json.dumps(rep))
+        return
+    if args.alpha_sweep:
+        reps = kitti_bench.kitti_alpha_sweep(
+            args.algorithm, args.folder, max_index=args.max_index,
+            dtype=np.dtype(args.dtype))
+        if args.json:
+            print(json.dumps(reps))
+        return
     rep = kitti_bench.benchmark_kitti(
         args.algorithm, args.folder, rot_alpha=args.rot_alpha,
         checkpoint=args.checkpoint, dtype=np.dtype(args.dtype),
@@ -386,6 +399,14 @@ def build_parser():
                                 "a constant-velocity warm start from "
                                 "the previous pair (latency mode; "
                                 "pt2pl converges in a few iterations)")
+            p.add_argument("--analyze", action="store_true",
+                           help="run the reference's dormant KITTI "
+                                "difficulty + Chamfer analyses instead "
+                                "of registering")
+            p.add_argument("--alpha-sweep", action="store_true",
+                           help="full hybrid alpha grid over the KITTI "
+                                "protocol (benchmark_different_rot_"
+                                "scales)")
         # every benchmark can generate its own (synthetic stand-in)
         # dataset in the reference's on-disk layout
         p.add_argument("--generate", action="store_true")

@@ -142,3 +142,17 @@ def test_kitti_online_odometry(kitti_dir):
     assert online["mean_rel_rot"] < 2.0
     assert online["mean_rel_tra"] < 0.25
     assert online["mean_iterations"] <= cold["mean_iterations"]
+
+
+def test_kitti_analyze(kitti_dir):
+    """Dormant KITTI difficulty + Chamfer analyses
+    (benchmark_kitti.cpp:395-585): GT alignment must cut the NN
+    distance, and the top-70% trim must suppress the non-overlap tail."""
+    from se3_icp_tpu.bench import kitti_bench
+    rep = kitti_bench.analyze_kitti(kitti_dir, max_index=6)
+    assert rep["num_pairs"] == 3
+    assert (rep["avg_point_cloud_distance"]
+            < 0.5 * rep["avg_starting_distance"])
+    assert (rep["avg_point_cloud_distance_top70"]
+            < rep["avg_point_cloud_distance"])
+    assert rep["avg_chamfer_distance"] > 0.0
