@@ -127,3 +127,21 @@ def analyze_lounge(folder: str):
     print(f"Overall average chamfer distance (lounge) = "
           f"{report['avg_chamfer_distance']}")
     return report
+
+
+def lounge_alpha_sweep(algorithm: str, folder: str, out_file=None,
+                       mesh=None, dtype=np.float32):
+    """benchmark_different_rot_scales (benchmark_lounge.cpp:396-402,
+    commented out in its main :552): the full hybrid alpha grid over
+    the lounge protocol.  One compiled program serves every alpha
+    (traced float)."""
+    reports = []
+    for alpha in common.hybrid_alpha_grid():
+        rep = benchmark_lounge(algorithm, folder, rot_alpha=alpha,
+                               mesh=mesh, dtype=dtype)
+        reports.append(rep)
+        if out_file:
+            import json
+            with open(out_file, "w") as f:
+                json.dump(reports, f, indent=1)
+    return reports

@@ -204,6 +204,12 @@ def cmd_bench_lounge(args):
         if args.json:
             print(json.dumps(rep))
         return
+    if args.alpha_sweep:
+        reps = lounge_bench.lounge_alpha_sweep(
+            args.algorithm, args.folder, dtype=np.dtype(args.dtype))
+        if args.json:
+            print(json.dumps(reps))
+        return
     rep = lounge_bench.benchmark_lounge(
         args.algorithm, args.folder, rot_alpha=args.rot_alpha,
         checkpoint=args.checkpoint, dtype=np.dtype(args.dtype))
@@ -414,6 +420,10 @@ def build_parser():
             p.add_argument("--analyze", action="store_true",
                            help="dataset difficulty + Chamfer analyses "
                                 "(benchmark_lounge.cpp:404-515)")
+            p.add_argument("--alpha-sweep", action="store_true",
+                           help="full hybrid alpha grid over the "
+                                "lounge protocol (benchmark_different_"
+                                "rot_scales)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("test-se3-pure")
