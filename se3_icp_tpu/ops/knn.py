@@ -45,7 +45,12 @@ def _use_pallas_batched() -> bool:
     batched matmul+argmin materializes the [B,Nq,Nt] distance matrix in
     HBM (~3 passes over 5.4 GB per engine iteration at 64x4608) --
     measured ~20 ms/iter vs ~2 ms fused.  SE3_ICP_TPU_NO_PALLAS=1
-    reverts to XLA."""
+    reverts to XLA.  SE3_ICP_TPU_FORCE_PALLAS=1 turns the kernels on
+    off-TPU (CPU CI runs the full TPU trace under
+    ``pltpu.force_tpu_interpret_mode`` -- see
+    tests/test_engine_interpret.py)."""
+    if os.environ.get("SE3_ICP_TPU_FORCE_PALLAS"):
+        return True
     return (jax.default_backend() == "tpu"
             and not os.environ.get("SE3_ICP_TPU_NO_PALLAS"))
 

@@ -24,6 +24,7 @@ Results match the XLA path exactly (including low-index tie-breaking).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,15 @@ _D_PAD = 16          # feature dim rounded up (12 -> 16); zero padding
 TILE_Q = 1024
 TILE_T = 2048
 
+
+
+def _interpret() -> bool:
+    """Plain-interpret pallas evaluation (trace-time gate): unlike
+    ``pltpu.force_tpu_interpret_mode`` it carries no ordered IO
+    effects, so the kernels can sit inside the engine's vmapped
+    ``lax.while_loop`` -- the CPU-CI route for running the full TPU
+    trace without a chip (tests/test_engine_interpret.py)."""
+    return bool(os.environ.get("SE3_ICP_TPU_PALLAS_INTERPRET"))
 
 def _kernel(n_ref, q_ref, t_ref, best_d2_ref, best_idx_ref):
     i = pl.program_id(0)
@@ -86,6 +96,7 @@ def _nn_argmin_padded(queries, targets, n_targets,
     best_d2, best_idx = pl.pallas_call(
         _kernel,
         grid=grid,
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_q, d), lambda i, j: (i, 0),
@@ -194,6 +205,7 @@ def _nn_argmin_padded_batched(queries, targets, tn, tile_q: int,
     best_d2, best_idx = pl.pallas_call(
         _kernel_batched,
         grid=grid,
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((1, tile_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -382,6 +394,7 @@ def _nn_match_padded_batched(q6, t6, tn, pay3, tile_q: int, tile_t: int):
     best_d2, best_idx, best_pay = pl.pallas_call(
         _kernel_match,
         grid=grid,
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((1, tile_q, q6.shape[2]),
                          lambda b, i, j: (b, i, 0),
@@ -543,6 +556,7 @@ def _nn_match_packed_padded(phase, q6, t6_pair, tn_pair, pay3,
     best_d2, best_idx, best_pay = pl.pallas_call(
         _kernel_match_packed,
         grid_spec=spec,
+        interpret=_interpret(),
         out_shape=[
             jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.float32),
             jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.int32),

@@ -31,6 +31,7 @@ shifted threshold).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 from se3_icp_tpu.ops.pallas_knn import (_POISON, _pack_nn_operands,
                                         _pick_tiles, _split3_limbs)
 
+
+
+def _interpret() -> bool:
+    """Plain-interpret pallas evaluation (trace-time gate): unlike
+    ``pltpu.force_tpu_interpret_mode`` it carries no ordered IO
+    effects, so the kernels can sit inside the engine's vmapped
+    ``lax.while_loop`` -- the CPU-CI route for running the full TPU
+    trace without a chip (tests/test_engine_interpret.py)."""
+    return bool(os.environ.get("SE3_ICP_TPU_PALLAS_INTERPRET"))
 
 def _kernel_moments(q6_ref, t6_ref, tn_ref, thr_ref, r48_ref, out_ref):
     j = pl.program_id(2)
@@ -126,6 +136,7 @@ def _moments_padded(q6, t6, tn, thr, r48, tile_q: int, tile_t: int):
     return pl.pallas_call(
         _kernel_moments,
         grid=grid,
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((1, tile_q, q6.shape[2]),
                          lambda b, i, j: (b, i, 0)),
@@ -153,6 +164,7 @@ def _axis_padded(q6, t6, n6, tn, aux, r16, tile_q: int, tile_t: int):
     return pl.pallas_call(
         _kernel_axis,
         grid=grid,
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((1, tile_q, q6.shape[2]),
                          lambda b, i, j: (b, i, 0)),
@@ -347,6 +359,7 @@ def _thresholds_padded(counts, hib, q6, t6, tn, tile_q: int,
     return pl.pallas_call(
         functools.partial(_kernel_thresholds, t_real),
         grid=grid,
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -60,7 +60,7 @@ def _compiled_batch(static_cfg, mode, variant, mesh, axis,
     if mesh is None:
         return jax.jit(batched)
 
-    @functools.partial(jax.shard_map, mesh=mesh, in_specs=specs,
+    @functools.partial(jax.shard_map, mesh=mesh, check_vma=False, in_specs=specs,
                        out_specs=P(axis))
     def _sharded(*args):
         return batched(*args)
@@ -79,7 +79,7 @@ def _compiled_batch_fgr(fgr_cfg, mesh, axis):
     if mesh is None:
         return jax.jit(batched)
 
-    @functools.partial(jax.shard_map, mesh=mesh,
+    @functools.partial(jax.shard_map, mesh=mesh, check_vma=False,
                        in_specs=(P(axis), P(axis), P(axis), P(axis)),
                        out_specs=P(axis))
     def _sharded(s, ns, t, nt):

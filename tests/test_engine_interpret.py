@@ -1,0 +1,50 @@
+"""End-to-end engine run on the FULL TPU trace, on CPU.
+
+``SE3_ICP_TPU_FORCE_PALLAS=1`` flips the trace-time kernel gates and
+``SE3_ICP_TPU_PALLAS_INTERPRET=1`` evaluates every pallas_call in
+interpret mode — so this exercises exactly the program the chip runs
+(sort-free threshold setup, fused moment consumers, pre-packed
+dual-phase match loop, sharded over the 8-device CPU mesh) without TPU
+hardware.  Unique iteration caps force a fresh trace: the engine's jit
+cache keys on static config, not on the env gates.
+"""
+
+import numpy as np
+
+from se3_icp_tpu.datasets import synthetic
+from se3_icp_tpu.utils import metrics_host
+from se3_icp_tpu.utils.config import RegistrationConfig
+
+
+def test_engine_full_tpu_trace_interpret(monkeypatch):
+    probs = [synthetic.synthetic_problem("easy", 0.002, seed=s)
+             for s in (31, 32)]
+    pair_list = [(p.source, p.target) for p in probs]
+    # unique caps -> unique static config -> fresh trace under the gate
+    cfg = RegistrationConfig(number_of_nn_for_lrf=90,
+                             max_num_iterations=41,
+                             max_num_se3_iterations=7)
+
+    from se3_icp_tpu.parallel import pairs as par
+    monkeypatch.setenv("SE3_ICP_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("SE3_ICP_TPU_PALLAS_INTERPRET", "1")
+    from se3_icp_tpu.ops import knn
+    assert knn.use_thr_knn() and knn.use_fused_match()
+    res_tpu = par.register_pairs(pair_list, "se3_pt2pl", cfg)
+    monkeypatch.delenv("SE3_ICP_TPU_FORCE_PALLAS")
+    monkeypatch.delenv("SE3_ICP_TPU_PALLAS_INTERPRET")
+
+    # reference: the plain XLA CPU route (fresh trace via distinct cap)
+    cfg_x = cfg.replace(max_num_iterations=42)
+    res_xla = par.register_pairs(pair_list, "se3_pt2pl", cfg_x,
+                                 mesh=None)
+
+    for p, rt, rx in zip(probs, res_tpu, res_xla):
+        assert metrics_host.success(p.T_gt, rt.transformation)
+        assert metrics_host.success(p.T_gt, rx.transformation)
+        # thr-setup neighborhoods are approximate (ball >= the exact
+        # kNN ball), so the two routes agree at trajectory tolerance
+        assert metrics_host.angular_error_so3(
+            rt.transformation[:3, :3], rx.transformation[:3, :3]) < 0.5
+        assert np.linalg.norm(rt.transformation[:3, 3]
+                              - rx.transformation[:3, 3]) < 0.05
