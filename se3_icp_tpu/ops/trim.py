@@ -60,7 +60,11 @@ def trim_mask(distances, valid, overlap_ratio: float, n_valid):
     if overlap_ratio >= 1.0:
         return valid
     count = jnp.floor(overlap_ratio * n_valid).astype(jnp.int32)
-    if jax.default_backend() == "tpu":
+    import os
+    if (jax.default_backend() == "tpu"
+            or os.environ.get("SE3_ICP_TPU_FORCE_PALLAS")):
+        # FORCE_PALLAS: CPU CI runs the full TPU trace (pure-jnp
+        # bisection, works on any backend) -- see knn._use_pallas_batched
         return _trim_mask_bisect(distances, valid, count)
     d = jnp.where(valid, distances, jnp.asarray(_BIG, distances.dtype))
     order = jnp.argsort(d, stable=True)

@@ -48,3 +48,28 @@ def test_engine_full_tpu_trace_interpret(monkeypatch):
             rt.transformation[:3, :3], rx.transformation[:3, :3]) < 0.5
         assert np.linalg.norm(rt.transformation[:3, 3]
                               - rx.transformation[:3, 3]) < 0.05
+
+
+def test_engine_tpu_trace_trimmed_interpret(monkeypatch):
+    """The trimmed-overlap TPU trace (sort-free count-bisection trim
+    inside the loop, KITTI-style config) on CPU: registers and matches
+    the XLA route."""
+    from se3_icp_tpu.parallel import pairs as par
+
+    prob = synthetic.synthetic_problem("easy", 0.002, seed=33)
+    pair_list = [(prob.source, prob.target)]
+    cfg = RegistrationConfig(number_of_nn_for_lrf=90,
+                             estimated_overlap=0.75,
+                             max_num_iterations=43,
+                             max_num_se3_iterations=7)
+    monkeypatch.setenv("SE3_ICP_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("SE3_ICP_TPU_PALLAS_INTERPRET", "1")
+    res_t = par.register_pairs(pair_list, "se3_pt2pl", cfg)
+    monkeypatch.delenv("SE3_ICP_TPU_FORCE_PALLAS")
+    monkeypatch.delenv("SE3_ICP_TPU_PALLAS_INTERPRET")
+    res_x = par.register_pairs(pair_list, "se3_pt2pl",
+                               cfg.replace(max_num_iterations=44))
+    assert metrics_host.success(prob.T_gt, res_t[0].transformation)
+    assert metrics_host.angular_error_so3(
+        res_t[0].transformation[:3, :3],
+        res_x[0].transformation[:3, :3]) < 0.5
