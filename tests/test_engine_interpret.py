@@ -73,3 +73,26 @@ def test_engine_tpu_trace_trimmed_interpret(monkeypatch):
     assert metrics_host.angular_error_so3(
         res_t[0].transformation[:3, :3],
         res_x[0].transformation[:3, :3]) < 0.5
+
+
+def test_golden_headline_program_interpret(monkeypatch):
+    """The HEADLINE program (golden protocol clouds, GOLDEN config)
+    through the full TPU trace on CPU: the same accuracy gate the
+    real-chip test applies (tpu_tests: < 0.01 deg)."""
+    from se3_icp_tpu.parallel import pairs as par
+    from se3_icp_tpu.utils import ply
+
+    base = "/root/reference/created_example_reg_problem"
+    src = ply.read_ply(f"{base}/source.ply").points
+    tgt = ply.read_ply(f"{base}/target.ply").points
+    T_gt = ply.read_transform_txt(f"{base}/transformation_gt.txt")
+    from se3_icp_tpu.utils.config import GOLDEN
+    monkeypatch.setenv("SE3_ICP_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("SE3_ICP_TPU_PALLAS_INTERPRET", "1")
+    res = par.register_pairs([(src, tgt)], "se3_pt2pl",
+                             GOLDEN.replace(max_num_iterations=45))
+    err = metrics_host.angular_error_so3(T_gt[:3, :3],
+                                         res[0].transformation[:3, :3])
+    tra = np.linalg.norm(T_gt[:3, 3] - res[0].transformation[:3, 3])
+    assert err < 0.01, err
+    assert tra < 1e-3, tra
