@@ -147,6 +147,13 @@ def timed_variant(rep_lists, algorithm, cfg, T_gt, mesh, n_reps,
             assert metrics_host.success(T_gt, r.transformation), (
                 f"{algorithm}: benchmark result failed the 2deg/0.25 "
                 "success bound")
+    def fetch(pending):
+        got = pending.result()
+        if gate:
+            for r in got:
+                assert metrics_host.success(T_gt, r.transformation)
+        return got
+
     rep_times = []
     inflight = deque()
     last = None
@@ -156,18 +163,15 @@ def timed_variant(rep_lists, algorithm, cfg, T_gt, mesh, n_reps,
                                                  algorithm, cfg,
                                                  mesh=mesh))
         if len(inflight) > depth:
-            last = inflight.popleft().result()
+            last = fetch(inflight.popleft())
             now = time.time()
             rep_times.append(now - t_prev)
             t_prev = now
     while inflight:
-        last = inflight.popleft().result()
+        last = fetch(inflight.popleft())
         now = time.time()
         rep_times.append(now - t_prev)
         t_prev = now
-    if gate:
-        for r in last:
-            assert metrics_host.success(T_gt, r.transformation)
     mean_iters = float(np.mean([r.num_iterations for r in last]))
     mean_pure = float(np.mean([r.num_pure_se3_iterations for r in last]))
     return (batch / float(np.median(rep_times)),

@@ -114,3 +114,20 @@ def run_pairs(pair_list, algorithm: str, cfg: RegistrationConfig,
             print(f"  pairs {sel[0]}..{sel[-1]}: {wall:.1f} ms/pair "
                   f"(batch of {len(sel)} on {ndev} device(s))")
     return ck.done
+
+
+def alignment_difficulty(src, tgt, gt, nn_d):
+    """Per-pair dataset-difficulty metrics shared by the lounge/KITTI
+    analyzers (the reference's dormant evaluate_*_registration_
+    difficulty / Chamfer analyses): returns (starting NN mean, after-GT
+    NN mean, top-70% trimmed mean, Chamfer squared-form sum).
+    ``nn_d(queries, targets)`` -> per-query NN distances."""
+    start = float(nn_d(src, tgt).mean())
+    moved = src @ gt[:3, :3].T + gt[:3, 3]
+    d_lr = nn_d(moved, tgt)
+    d_rl = nn_d(tgt, moved)
+    after = float(d_lr.mean())
+    k70 = max(1, int(0.7 * len(d_lr)))
+    top70 = float(np.sort(d_lr)[:k70].mean())
+    chamfer = float((d_lr ** 2).mean() + (d_rl ** 2).mean())
+    return start, after, top70, chamfer

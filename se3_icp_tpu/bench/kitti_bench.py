@@ -69,14 +69,12 @@ def analyze_kitti(folder: str, max_index=1100):
     for i in range(len(clouds) - 1):
         src, tgt = clouds[i + 1], clouds[i]
         gt = np.linalg.inv(poses[i]) @ poses[i + 1]
-        start_d.append(float(nn_d(src, tgt).mean()))
-        moved = src @ gt[:3, :3].T + gt[:3, 3]
-        d_lr = nn_d(moved, tgt)
-        d_rl = nn_d(tgt, moved)
-        avg_d.append(float(d_lr.mean()))
-        k70 = max(1, int(0.7 * len(d_lr)))
-        avg_d70.append(float(np.sort(d_lr)[:k70].mean()))
-        avg_ch.append(float((d_lr ** 2).mean() + (d_rl ** 2).mean()))
+        start, after, top70, ch = common.alignment_difficulty(
+            src, tgt, gt, nn_d)
+        start_d.append(start)
+        avg_d.append(after)
+        avg_d70.append(top70)
+        avg_ch.append(ch)
         print(f"starting_distance mean =  {start_d[-1]}")
         print(f"after_transform_distance mean =  {avg_d[-1]}")
         print(f"after_transform_distance mean (top 70%) =  {avg_d70[-1]}")
@@ -168,6 +166,10 @@ def benchmark_kitti(algorithm: str, folder: str, rot_alpha=3.0, mesh=None,
         if algorithm == "fgr":
             raise ValueError("--online warm starts do not apply to fgr "
                              "(a global method)")
+        if checkpoint:
+            print("warning: --checkpoint is not supported with --online "
+                  "(serial warm-started runs are not resumable); "
+                  "running without a checkpoint")
         outcomes = _run_pairs_online(pairs, algorithm, cfg, dtype=dtype)
     else:
         outcomes = common.run_pairs(pairs, algorithm, cfg, mesh=mesh,

@@ -99,18 +99,18 @@ def analyze_lounge(folder: str):
 
     from se3_icp_tpu.ops import knn as knn_ops
 
+    def nn_d(q, t):
+        return np.sqrt(np.maximum(np.asarray(knn_ops.nn_distances(
+            jnp.asarray(q), jnp.asarray(t))), 0.0))
+
     pairs, gts = load_lounge_pairs(folder)
     avg_d, avg_d70, avg_ch = [], [], []
     for (src, tgt), T12 in zip(pairs, gts):
-        moved = src @ T12[:3, :3].T + T12[:3, 3]
-        d_lr = np.sqrt(np.maximum(np.asarray(knn_ops.nn_distances(
-            jnp.asarray(moved), jnp.asarray(tgt))), 0.0))
-        d_rl = np.sqrt(np.maximum(np.asarray(knn_ops.nn_distances(
-            jnp.asarray(tgt), jnp.asarray(moved))), 0.0))
-        avg_d.append(d_lr.mean())
-        k70 = int(0.7 * len(d_lr))
-        avg_d70.append(np.sort(d_lr)[:k70].mean())
-        avg_ch.append((d_lr ** 2).mean() + (d_rl ** 2).mean())
+        _, after, top70, ch = common.alignment_difficulty(src, tgt, T12,
+                                                          nn_d)
+        avg_d.append(after)
+        avg_d70.append(top70)
+        avg_ch.append(ch)
         print(f"after_transform_distance mean =  {avg_d[-1]}")
         print(f"after_transform_distance mean (top 70%) =  {avg_d70[-1]}")
     report = {

@@ -69,7 +69,11 @@ def run_scaling(algorithm: str = "se3_pt2pl", cfg=None,
 
     counts, rates = [], []
     for n in device_ladder(len(devs)):
-        mesh = par.default_mesh(devices=devs[:n]) if n > 1 else None
+        # ALWAYS pin an explicit n-device mesh: mesh=None would be
+        # auto-upgraded to all devices by register_pairs_async on a
+        # multi-device host, inflating the 1-device base rate and
+        # corrupting every efficiency number
+        mesh = par.default_mesh(devices=devs[:n])
         batch = per_device * n
         rep_lists = _jittered_lists(prob, batch, reps, rng)
         par.register_pairs(rep_lists[-1], algorithm, cfg, mesh=mesh)

@@ -197,12 +197,12 @@ def register_pair_multistart(source_points, target_points,
     T_full = np.asarray(jax.device_get(T), np.float64) @ M
 
     ns, nt = len(src), len(tgt)
-    src_p = np.zeros((reg._bucket(ns), 3), np.float32)
+    src_p = np.zeros((reg._bucket(ns), 3), dtype)
     src_p[:ns] = src
-    tgt_p = np.zeros((reg._bucket(nt), 3), np.float32)
+    tgt_p = np.zeros((reg._bucket(nt), 3), dtype)
     tgt_p[:nt] = tgt
     scores = np.asarray(jax.device_get(_score_transforms(
-        jnp.asarray(T_full, jnp.float32), jnp.asarray(src_p),
+        jnp.asarray(T_full, dtype), jnp.asarray(src_p),
         jnp.asarray(ns, jnp.int32), jnp.asarray(tgt_p),
         jnp.asarray(nt, jnp.int32), float(cfg.estimated_overlap))))
     k = int(np.argmin(scores))
@@ -241,7 +241,8 @@ def register_pairs_multistart(pairs, algorithm: str = "se3_pt2pl",
     ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     if pair_chunk is None:
         # ~64 flat registrations per dispatch (the scale that saturates
-        # a chip in the serving bench), and at least one pair per device
+        # a chip in the serving bench), and enough pairs that the
+        # FLATTENED axis covers every mesh device (>= ndev/n_starts)
         pair_chunk = max(1, -(-64 // n_starts), -(-ndev // n_starts))
     pair_chunk = max(1, min(pair_chunk, p_n))
     ns_max = reg._bucket(max(len(s) for s in srcs))

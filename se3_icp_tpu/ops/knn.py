@@ -49,10 +49,11 @@ def _use_pallas_batched() -> bool:
     off-TPU (CPU CI runs the full TPU trace under
     ``pltpu.force_tpu_interpret_mode`` -- see
     tests/test_engine_interpret.py)."""
+    if os.environ.get("SE3_ICP_TPU_NO_PALLAS"):
+        return False     # the XLA escape hatch wins over FORCE_PALLAS
     if os.environ.get("SE3_ICP_TPU_FORCE_PALLAS"):
         return True
-    return (jax.default_backend() == "tpu"
-            and not os.environ.get("SE3_ICP_TPU_NO_PALLAS"))
+    return jax.default_backend() == "tpu"
 
 
 def _chunk_starts(n: int, chunk: int):

@@ -31,25 +31,16 @@ shifted threshold).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from se3_icp_tpu.ops.pallas_knn import (_POISON, _pack_nn_operands,
-                                        _pick_tiles, _split3_limbs)
+from se3_icp_tpu.ops.pallas_knn import (_POISON, _interpret,
+                                        _pack_nn_operands, _pick_tiles,
+                                        _split3_limbs)
 
-
-
-def _interpret() -> bool:
-    """Plain-interpret pallas evaluation (trace-time gate): unlike
-    ``pltpu.force_tpu_interpret_mode`` it carries no ordered IO
-    effects, so the kernels can sit inside the engine's vmapped
-    ``lax.while_loop`` -- the CPU-CI route for running the full TPU
-    trace without a chip (tests/test_engine_interpret.py)."""
-    return bool(os.environ.get("SE3_ICP_TPU_PALLAS_INTERPRET"))
 
 def _kernel_moments(q6_ref, t6_ref, tn_ref, thr_ref, r48_ref, out_ref):
     j = pl.program_id(2)
