@@ -156,3 +156,22 @@ def test_kitti_analyze(kitti_dir):
     assert (rep["avg_point_cloud_distance_top70"]
             < rep["avg_point_cloud_distance"])
     assert rep["avg_chamfer_distance"] > 0.0
+
+
+def test_alpha_sweeps_short_grid(kitti_dir, lounge_dir, monkeypatch):
+    """The dormant rot-scale sweeps (kitti_alpha_sweep /
+    lounge_alpha_sweep) run the protocol per alpha; a short grid keeps
+    CI fast -- the full hybrid grid shares the same compiled program
+    (traced float)."""
+    from se3_icp_tpu.bench import common, kitti_bench, lounge_bench
+    monkeypatch.setattr(common, "hybrid_alpha_grid",
+                        lambda: [3.0, 100.0])
+    reps_k = kitti_bench.kitti_alpha_sweep("se3_pt2pl", kitti_dir,
+                                           max_index=6,
+                                           dtype=np.float64)
+    assert len(reps_k) == 2
+    assert all(r["success_rate"] == 1.0 for r in reps_k)
+    reps_l = lounge_bench.lounge_alpha_sweep("se3_pt2pl", lounge_dir,
+                                             dtype=np.float64)
+    assert len(reps_l) == 2
+    assert all(r["avg_angular_SO3_error"] < 2.0 for r in reps_l)
