@@ -469,13 +469,14 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
             emb_a, tgt_embed_B, payload, n_tgt, ns)
 
     if setup_only:
-        # phase-timing surface (VERDICT r1 item 9, analog of the
-        # reference's time_before_pure_icp_/time_se3_correspondence_
-        # counters, ref:cpp:754,866-878): return a checksum that keeps
-        # every pre-loop tensor live, so timing this program measures
-        # the full setup phase (kNN/thresholds, LRF frames, normals/
-        # covariances, payload + dual-phase target packing) and nothing
-        # of the iteration loop.  See bench.py BENCH_PHASES=1.
+        # sharding-consistency oracle: return a checksum that keeps
+        # every pre-loop tensor live (kNN/thresholds, LRF frames,
+        # normals/covariances, payload + dual-phase target packing), so
+        # tests/test_parallel.py can pin sharded==single-device setup
+        # bitwise.  (The bench.py BENCH_PHASES setup/loop split instead
+        # uses capped-iteration differential timing of the full
+        # program; over the axon tunnel a separate setup-only dispatch
+        # is RTT-dominated and not end-to-end comparable.)
         chk = jnp.sum(payload) + jnp.sum(tgt_embed_B)
         if is_se3:
             chk = chk + jnp.sum(frot_s0) + jnp.sum(tgt_embed_A)

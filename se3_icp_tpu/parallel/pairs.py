@@ -149,10 +149,13 @@ def setup_checksum_batch(src, n_src, tgt, n_tgt,
                          mesh: Mesh | None = None, axis: str = "pairs"):
     """Dispatch the engine's setup-only program (everything before the
     iteration loop) over the SAME mesh/shard layout as register_batch,
-    returning a [P] per-pair checksum.  Timing this against the full
-    program gives the setup/loop phase split (bench.py BENCH_PHASES) --
-    it must run through the identical shard_map, or a multi-device full
-    time would be compared against a single-device setup time."""
+    returning a [P] per-pair checksum.  This is a sharding-consistency
+    oracle: tests/test_parallel.py checks the sharded checksum matches
+    the single-device one bitwise, pinning every pre-loop tensor.  It is
+    NOT the bench.py BENCH_PHASES timing surface -- over the axon tunnel
+    both programs are RTT-dominated and the subtraction goes negative,
+    so bench.phase_breakdown uses capped-iteration differential timing
+    of the full program instead."""
     mode, variant = parse_algorithm(algorithm)
     floats, static_cfg = reg.split_cfg(cfg, src.dtype)
     p = src.shape[0]
