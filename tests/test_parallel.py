@@ -149,3 +149,52 @@ def test_scaling_bench_mechanics():
     assert all(r > 0 for r in rep["pairs_per_s"])
     assert rep["efficiency"][0] == 1.0
     assert rep["platform"] == "cpu"
+
+
+def test_device_cloud_cache_reuses_uploads():
+    """register_pairs_async memoizes each side's device upload by array
+    identity: a repeated target side (scan-to-model serving, the bench
+    protocol) must reuse the SAME device buffers, and fresh source
+    arrays must miss.  Results stay correct either way."""
+    probs = _problems(2, seed0=70)
+    tgts = [p.target for p in probs]
+    srcs1 = [p.source for p in probs]
+    srcs2 = [p.source + 1e-5 for p in probs]
+
+    d_t1, _ = par._device_clouds(tgts, np.float32)
+    d_s1, _ = par._device_clouds(srcs1, np.float32)
+    d_t2, _ = par._device_clouds(tgts, np.float32)
+    d_s2, _ = par._device_clouds(srcs2, np.float32)
+    assert d_t2 is d_t1          # identical side -> cache hit
+    assert d_s2 is not d_s1      # fresh arrays -> miss
+
+    r1 = par.register_pairs(list(zip(srcs1, tgts)), "se3_pt2pl", GOLDEN,
+                            mesh=None)
+    r2 = par.register_pairs(list(zip(srcs1, tgts)), "se3_pt2pl", GOLDEN,
+                            mesh=None)
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a.transformation, b.transformation)
+    for p, r in zip(probs, r1):
+        assert bool(metrics.success(p.T_gt, r.transformation))
+
+
+def test_pad_max_upload_matches_bucket_packed():
+    """The pad='max' upload + on-device bucket padding must register
+    identically to host bucket packing (the engine sees the same padded
+    arrays either way)."""
+    probs = _problems(3, seed0=77)
+    pair_list = [(p.source, p.target) for p in probs]
+    src_m, ns_m, tgt_m, nt_m = par.pack_pairs(pair_list, pad="max")
+    src_b, ns_b, tgt_b, nt_b = par.pack_pairs(pair_list, pad="bucket")
+    assert src_m.shape[1] <= src_b.shape[1]
+    np.testing.assert_array_equal(ns_m, ns_b)
+    out_m = par.register_batch(jnp.asarray(src_m), jnp.asarray(ns_m),
+                               jnp.asarray(tgt_m), jnp.asarray(nt_m),
+                               GOLDEN, "se3_pt2pl")
+    out_b = par.register_batch(jnp.asarray(src_b), jnp.asarray(ns_b),
+                               jnp.asarray(tgt_b), jnp.asarray(nt_b),
+                               GOLDEN, "se3_pt2pl")
+    np.testing.assert_allclose(np.asarray(out_m[0]),
+                               np.asarray(out_b[0]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_m[1]),
+                                  np.asarray(out_b[1]))
