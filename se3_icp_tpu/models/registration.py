@@ -253,6 +253,7 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     q_src = q_tgt = None
     cpos_src: dict = {}
     cpos_tgt: dict = {}
+    packed_src = packed_tgt = None
     if use_thr:
         rz_lrf = k_lrf // 3
         counts_src = ([rz_lrf, rz_lrf + 1, k_lrf] if k_lrf else []) + (
@@ -272,12 +273,19 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         cu_src, cpos_src = _uniq(counts_src)
         cu_tgt, cpos_tgt = _uniq(counts_tgt)
         if points_axis is None:
+            # shared packed operands: the thresholds/moments/axis
+            # kernels all stream the same poisoned positions + limb
+            # packs + feature blocks; build them ONCE per cloud
             if cu_src:
-                thr_src = knn.neighborhood_thresholds(
-                    src_c, jnp.asarray(cu_src, jnp.int32), n_src)
+                packed_src = knn.pack_setup_cloud(src_c, n_src)
+                thr_src = knn.neighborhood_thresholds_packed(
+                    src_c, jnp.asarray(cu_src, jnp.int32), n_src,
+                    *packed_src)
             if cu_tgt:
-                thr_tgt = knn.neighborhood_thresholds(
-                    tgt_c, jnp.asarray(cu_tgt, jnp.int32), n_tgt)
+                packed_tgt = knn.pack_setup_cloud(tgt_c, n_tgt)
+                thr_tgt = knn.neighborhood_thresholds_packed(
+                    tgt_c, jnp.asarray(cu_tgt, jnp.int32), n_tgt,
+                    *packed_tgt)
         else:
             q_src = _my_rows(src_c, points_axis)
             q_tgt = _my_rows(tgt_c, points_axis)
@@ -321,12 +329,12 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                     src_c, thr_src[:, cpos_src[rz_lrf]],
                     thr_src[:, cpos_src[rz_lrf + 1]],
                     thr_src[:, cpos_src[klrf]], klrf, n_src,
-                    queries=q_src)
+                    queries=q_src, packed=packed_src)
                 rot_t0, _ = lrf.toldi_frames_thr(
                     tgt_c, thr_tgt[:, cpos_tgt[rz_lrf]],
                     thr_tgt[:, cpos_tgt[rz_lrf + 1]],
                     thr_tgt[:, cpos_tgt[klrf]], klrf, n_tgt,
-                    queries=q_tgt)
+                    queries=q_tgt, packed=packed_tgt)
                 if points_axis is not None:
                     rot_s0 = _gather_rows(rot_s0, points_axis)
                     rot_t0 = _gather_rows(rot_t0, points_axis)
@@ -406,7 +414,8 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         if use_thr:
             tgt_normals = lrf.normals_thr(
                 tgt_c, thr_tgt[:, cpos_tgt[cfg.normals_knn]],
-                cfg.normals_knn, n_tgt, queries=q_tgt)
+                cfg.normals_knn, n_tgt, queries=q_tgt,
+                packed=packed_tgt)
             if points_axis is not None:
                 tgt_normals = _gather_rows(tgt_normals, points_axis)
         elif points_axis is None:
@@ -421,11 +430,11 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
             cov_src0 = lrf.gicp_covariances_thr(
                 src_c, thr_src[:, cpos_src[cfg.gicp_normals_knn]],
                 cfg.gicp_normals_knn, cfg.gicp_epsilon, n_src,
-                queries=q_src)
+                queries=q_src, packed=packed_src)
             cov_tgt = lrf.gicp_covariances_thr(
                 tgt_c, thr_tgt[:, cpos_tgt[cfg.gicp_normals_knn]],
                 cfg.gicp_normals_knn, cfg.gicp_epsilon, n_tgt,
-                queries=q_tgt)
+                queries=q_tgt, packed=packed_tgt)
             if points_axis is not None:
                 cov_src0 = _gather_rows(cov_src0, points_axis)
                 cov_tgt = _gather_rows(cov_tgt, points_axis)

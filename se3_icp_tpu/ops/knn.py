@@ -351,6 +351,55 @@ def _neighborhood_thresholds_vmap_rule(axis_size, in_batched, points,
 
 
 @jax.custom_batching.custom_vmap
+def pack_setup_cloud(points, n_valid):
+    """Shared packed kernel operands for one cloud's setup (TPU only;
+    guard call sites with ``use_thr_knn``): poisoned positions, limb
+    packs, norms, and feature blocks consumed by the thresholds /
+    moments / axis kernels -- built ONCE per cloud instead of once per
+    kernel (pallas_moments.pack_cloud_batched).  Returns a 7-tuple of
+    arrays; pass it as ``packed=`` to neighborhood_thresholds_packed /
+    lrf.toldi_frames_thr / lrf.normals_thr / lrf.gicp_covariances_thr."""
+    from se3_icp_tpu.ops import pallas_moments as pm
+    out = pm.pack_cloud_batched(points[None],
+                                jnp.asarray(n_valid, jnp.int32)[None])
+    return tuple(x[0] for x in out)
+
+
+@pack_setup_cloud.def_vmap
+def _pack_setup_cloud_vmap_rule(axis_size, in_batched, points, n_valid):
+    from se3_icp_tpu.ops import pallas_moments as pm
+    pb, nb = in_batched
+    out = pm.pack_cloud_batched(
+        _bcast(points, pb, axis_size),
+        _bcast(jnp.asarray(n_valid, jnp.int32), nb, axis_size))
+    return tuple(out), (True,) * len(out)
+
+
+@jax.custom_batching.custom_vmap
+def neighborhood_thresholds_packed(points, counts, n_valid, *packed):
+    """``neighborhood_thresholds`` reusing shared packed operands."""
+    from se3_icp_tpu.ops import pallas_moments as pm
+    return pm.neighborhood_thresholds_batched(
+        points[None], jnp.asarray(n_valid, jnp.int32)[None],
+        counts[None], packed=tuple(x[None] for x in packed))[0]
+
+
+@neighborhood_thresholds_packed.def_vmap
+def _neighborhood_thresholds_packed_vmap_rule(axis_size, in_batched,
+                                              points, counts, n_valid,
+                                              *packed):
+    from se3_icp_tpu.ops import pallas_moments as pm
+    pb, cb, nb = in_batched[:3]
+    pk = tuple(_bcast(a, b, axis_size)
+               for a, b in zip(packed, in_batched[3:]))
+    out = pm.neighborhood_thresholds_batched(
+        _bcast(points, pb, axis_size),
+        _bcast(jnp.asarray(n_valid, jnp.int32), nb, axis_size),
+        _bcast(counts, cb, axis_size), packed=pk)
+    return out, True
+
+
+@jax.custom_batching.custom_vmap
 def neighborhood_thresholds_q(points, queries, counts, n_valid):
     """``neighborhood_thresholds`` for a query ROW SLICE of ``points``
     (model-parallel setup): queries [Nq,3] -> thr [Nq,T]."""

@@ -540,13 +540,14 @@ def _toldi_fused_batched(points, d2sorted, n_valid):
 
 
 def _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all, radius,
-                          rz: int, n_valid, queries=None):
+                          rz: int, n_valid, queries=None, packed=None):
     """Batched fused TOLDI from explicit squared-distance thresholds
     (rank sets {self,1..rz-1} / {self,1..rz} / {self,1..k-1}) and the
     neighborhood radius.  ``rz = k // 3`` is the reference's centroid
     divisor (quirk #2, ref:cpp:259-265).  ``queries`` [B,Nq,3]:
     optional query row slice of ``points`` (model-parallel setup);
-    thresholds/radius are then per query row."""
+    thresholds/radius are then per query row.  ``packed``: optional
+    shared operands (pallas_moments.pack_cloud_batched)."""
     from se3_icp_tpu.ops import pallas_moments as pm
 
     q = points if queries is None else queries
@@ -555,7 +556,7 @@ def _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all, radius,
     divisor = jnp.asarray(rz, dtype)             # exact_centroid=False
 
     mom = pm.moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
-                             queries=queries)
+                             queries=queries, packed=packed)
 
     cen = mom["cen_sum"] / divisor                        # [B,Nq,3]
     s1 = mom["cov_sum"]
@@ -571,7 +572,8 @@ def _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all, radius,
     arrow = mom["all_sum"] - mom["all_cnt"][:, :, None] * q
     ndotq = jnp.sum(normal * q, axis=-1)
     w_p, w_sum = pm.axis_sums_batched(points, n_valid, normal, ndotq,
-                                      radius, thr_all, queries=queries)
+                                      radius, thr_all, queries=queries,
+                                      packed=packed)
     scaled = w_p - w_sum[:, :, None] * q
 
     flip = jnp.sum(normal * arrow, axis=-1) < 0.0
@@ -616,7 +618,7 @@ def toldi_frames_dense_fused(points, d2sorted, n_valid):
 
 
 def _normals_fused_batched(points, thr, n_valid, k_use: int,
-                           queries=None):
+                           queries=None, packed=None):
     """Batched gather-free PCA normals via the moments kernel (one
     threshold mask; self INCLUDED like normals_dense -- the kernel
     subtracts the self term, so it is added back here).  ``queries``:
@@ -627,7 +629,7 @@ def _normals_fused_batched(points, thr, n_valid, k_use: int,
     dtype = points.dtype
     bsz, nq, _ = q.shape
     mom = pm.moments_batched(points, n_valid, thr, thr, thr,
-                             queries=queries)
+                             queries=queries, packed=packed)
     p9self = (q[:, :, :, None]
               * q[:, :, None, :]).reshape(bsz, nq, 9)
     s1 = mom["cov_sum"] + q
@@ -724,6 +726,15 @@ def _make_toldi_thr_cv(rz: int):
     return _make_batched_cv(impl)
 
 
+def _make_toldi_thr_packed_cv(rz: int):
+    def impl(points, thr_cen, thr_cov, thr_k, n_valid, *packed):
+        return _toldi_fused_from_thr(
+            points, thr_cen, thr_cov, thr_k,
+            jnp.sqrt(jnp.maximum(thr_k, 0.0)), rz, n_valid,
+            packed=packed)
+    return _make_batched_cv(impl)
+
+
 def _make_toldi_thr_q_cv(rz: int):
     def impl(points, queries, thr_cen, thr_cov, thr_k, n_valid):
         return _toldi_fused_from_thr(
@@ -735,10 +746,11 @@ def _make_toldi_thr_q_cv(rz: int):
 
 _toldi_thr_cv_cache: dict = {}
 _toldi_thr_q_cv_cache: dict = {}
+_toldi_thr_packed_cv_cache: dict = {}
 
 
 def toldi_frames_thr(points, thr_cen, thr_cov, thr_k, k: int, n_valid,
-                     queries=None):
+                     queries=None, packed=None):
     """TOLDI frames from neighborhood thresholds (TPU only).
 
     ``thr_cen``/``thr_cov``/``thr_k`` [Nq]: squared-distance thresholds
@@ -750,6 +762,13 @@ def toldi_frames_thr(points, thr_cen, thr_cov, thr_k, k: int, n_valid,
     rz = k // 3
     nv = jnp.asarray(n_valid, jnp.int32)
     if queries is None:
+        if packed is not None:
+            if rz not in _toldi_thr_packed_cv_cache:
+                _toldi_thr_packed_cv_cache[rz] = (
+                    _make_toldi_thr_packed_cv(rz))
+            rot = _toldi_thr_packed_cv_cache[rz](
+                points, thr_cen, thr_cov, thr_k, nv, *packed)
+            return rot, points
         if rz not in _toldi_thr_cv_cache:
             _toldi_thr_cv_cache[rz] = _make_toldi_thr_cv(rz)
         rot = _toldi_thr_cv_cache[rz](points, thr_cen, thr_cov, thr_k,
@@ -768,6 +787,13 @@ def _make_normals_thr_cv(k_use: int):
     return _make_batched_cv(impl)
 
 
+def _make_normals_thr_packed_cv(k_use: int):
+    def impl(points, thr, n_valid, *packed):
+        return _normals_fused_batched(points, thr, n_valid, k_use,
+                                      packed=packed)
+    return _make_batched_cv(impl)
+
+
 def _make_normals_thr_q_cv(k_use: int):
     def impl(points, queries, thr, n_valid):
         return _normals_fused_batched(points, thr, n_valid, k_use,
@@ -777,15 +803,24 @@ def _make_normals_thr_q_cv(k_use: int):
 
 _normals_thr_cv_cache: dict = {}
 _normals_thr_q_cv_cache: dict = {}
+_normals_thr_packed_cv_cache: dict = {}
 
 
-def normals_thr(points, thr, k_use: int, n_valid, queries=None):
+def normals_thr(points, thr, k_use: int, n_valid, queries=None,
+                packed=None):
     """PCA normals from a neighborhood threshold (TPU only).  ``thr``
     [Nq]: squared-distance threshold for the self-inclusive count
     ``k_use`` (the mean still divides by k_use, like normals_dense).
-    ``queries`` [Nq,3]: optional query row slice of ``points``."""
+    ``queries`` [Nq,3]: optional query row slice of ``points``.
+    ``packed``: optional shared operands (knn.pack_setup_cloud)."""
     nv = jnp.asarray(n_valid, jnp.int32)
     if queries is None:
+        if packed is not None:
+            if k_use not in _normals_thr_packed_cv_cache:
+                _normals_thr_packed_cv_cache[k_use] = (
+                    _make_normals_thr_packed_cv(k_use))
+            return _normals_thr_packed_cv_cache[k_use](points, thr, nv,
+                                                       *packed)
         if k_use not in _normals_thr_cv_cache:
             _normals_thr_cv_cache[k_use] = _make_normals_thr_cv(k_use)
         return _normals_thr_cv_cache[k_use](points, thr, nv)
@@ -796,9 +831,10 @@ def normals_thr(points, thr, k_use: int, n_valid, queries=None):
 
 def gicp_covariances_thr(points, thr, k_use: int,
                          epsilon: float = 1e-3, n_valid=None,
-                         queries=None):
+                         queries=None, packed=None):
     """GICP covariance init from a neighborhood threshold (TPU only)."""
-    normals = normals_thr(points, thr, k_use, n_valid, queries=queries)
+    normals = normals_thr(points, thr, k_use, n_valid, queries=queries,
+                          packed=packed)
     Rx = rotation_from_e1_to_x(normals)
     C = jnp.diag(jnp.asarray([epsilon, 1.0, 1.0], points.dtype))
     return Rx @ C @ Rx.mT

@@ -188,6 +188,72 @@ def _poison_pack(points, n_valid, tile_t):
     return pp
 
 
+def _tile_q_for(tile_t: int, budget: int) -> int:
+    """Largest power-of-two query tile whose [tile_q, tile_t] f32 block
+    fits the VMEM budget (mirrors pallas_knn._pick_tiles), capped at
+    256 so it always divides the shared pack's 256-aligned query pad."""
+    tile_q = 128
+    while tile_q * 2 * 4 * tile_t <= budget and tile_q < 256:
+        tile_q *= 2
+    return tile_q
+
+
+def _axis_feature_block(pp):
+    """[B,Ntp,3] poisoned positions -> bf16 [B,Ntp,16] 2-limb
+    [p(3) | 1 | 0(4)] block for the axis kernel."""
+    ones = jnp.ones(pp.shape[:2] + (1,), jnp.float32)
+    feat = jnp.concatenate([pp, ones, jnp.zeros(pp.shape[:2] + (4,),
+                                                jnp.float32)], -1)
+    fh_f = jax.lax.reduce_precision(feat, 8, 7)
+    fl = (feat - fh_f).astype(jnp.bfloat16)
+    return jnp.concatenate([fh_f.astype(jnp.bfloat16), fl], -1)
+
+
+def pack_cloud_batched(points, n_valid):
+    """Shared packed operands for ALL setup kernels of one cloud batch.
+
+    The thresholds / moments / axis kernels (and the normals/GICP
+    consumers of the moments kernel) all stream the same poisoned
+    positions, limb-packed distance operands, and feature blocks;
+    packing them once per cloud instead of once per kernel removes
+    3-4 redundant [B,N,48]-scale HBM materializations from setup
+    (measured ~77 ms of XLA fusions around the setup kernels on v5e
+    before sharing).
+
+    Returns a tuple (pp, q6, t6, tn, qn, r48, r16):
+      pp  [B,Ntp,3]  f32 poisoned positions (Ntp: 512-aligned, split
+                     into <=4608-row streaming chunks)
+      q6  [B,Nqp,6dp] bf16 query limbs (queries = the full cloud,
+                     Nqp: 256-aligned)
+      t6  [B,Ntp,6dp] bf16 target limbs
+      tn  [B,1,Ntp]  f32 target norms
+      qn  [B,Nqp]    f32 query norms
+      r48 [B,Ntp,48] bf16 moments feature block
+      r16 [B,Ntp,16] bf16 axis feature block
+    """
+    bsz, n, _ = points.shape
+    steps = -(-n // 4608)
+    tile_t = -(-(-(-n // steps)) // 512) * 512
+    ntp = steps * tile_t
+    pp = _poison_pack(points, n_valid, ntp)
+    nqp = -(-n // 256) * 256
+    qp = jnp.pad(points.astype(jnp.float32),
+                 ((0, 0), (0, nqp - n), (0, 0)))
+    qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
+    tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
+    q6, t6 = _pack_nn_operands(qpp, tpp)
+    tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
+    qn = jnp.sum(qp * qp, axis=-1)
+    return (pp, q6, t6, tn, qn, _pack_feature_block(pp),
+            _axis_feature_block(pp))
+
+
+def _packed_tile_t(packed) -> int:
+    ntp = packed[0].shape[1]
+    steps = -(-ntp // 4608)
+    return ntp // steps
+
+
 def _pack_feature_block(pp):
     """[B,Ntp,3] poisoned positions -> bf16 [B,Ntp,48]:
     [p(3) | p p^T (9) | 1 | 0(3)] x 3 exact limbs.
@@ -205,7 +271,7 @@ def _pack_feature_block(pp):
 
 
 def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
-                    queries=None):
+                    queries=None, packed=None):
     """Batched neighborhood moments for three distance thresholds.
 
     points [B,N,3] (padded rows arbitrary), n_valid [B],
@@ -213,7 +279,8 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
     ``queries`` [B,Nq,3]: optional query rows (default: the full cloud;
     a model-parallel row SLICE otherwise -- must be actual rows of
     ``points``, since the self term d2=0 is assumed inside every
-    threshold and subtracted exactly).
+    threshold and subtracted exactly).  ``packed``: optional shared
+    operands from ``pack_cloud_batched`` (full-cloud queries only).
 
     Returns a dict of per-query sums with the SELF term already
     removed: cen_sum/cen_cnt, cov_sum/cov_p9/cov_cnt,
@@ -222,19 +289,24 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
     q_pts = points if queries is None else queries
     bsz, n, _ = points.shape
     nq = q_pts.shape[1]
-    tile_q, tile_t = _pick_tiles(nq, n, budget=5 * 1024 * 1024)
-    pp = _poison_pack(points, n_valid, tile_t)
-    ntp = pp.shape[1]
-    pad_q = (-nq) % tile_q
-    qp = jnp.pad(q_pts.astype(jnp.float32),
-                 ((0, 0), (0, pad_q), (0, 0)), constant_values=0.0)
-    # pack query/target positions for the exact distance dot
-    qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))             # dp=8
-    tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
-    q6, t6 = _pack_nn_operands(qpp, tpp)
-    tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
-    qn = jnp.sum(qp * qp, axis=-1)                          # [B, Nqp']
-    r48 = _pack_feature_block(pp)
+    if packed is not None and queries is None:
+        pp, q6, t6, tn, qn, r48, _ = packed
+        tile_t = _packed_tile_t(packed)
+        tile_q = _tile_q_for(tile_t, 5 * 1024 * 1024)
+        pad_q = qn.shape[1] - nq
+    else:
+        tile_q, tile_t = _pick_tiles(nq, n, budget=5 * 1024 * 1024)
+        pp = _poison_pack(points, n_valid, tile_t)
+        pad_q = (-nq) % tile_q
+        qp = jnp.pad(q_pts.astype(jnp.float32),
+                     ((0, 0), (0, pad_q), (0, 0)), constant_values=0.0)
+        # pack query/target positions for the exact distance dot
+        qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))         # dp=8
+        tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
+        q6, t6 = _pack_nn_operands(qpp, tpp)
+        tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
+        qn = jnp.sum(qp * qp, axis=-1)                      # [B, Nqp']
+        r48 = _pack_feature_block(pp)
 
     def padq(x):
         return jnp.pad(x, ((0, 0), (0, pad_q)))
@@ -373,7 +445,7 @@ def _thresholds_padded(counts, hib, q6, t6, tn, tile_q: int,
 
 
 def neighborhood_thresholds_batched(points, n_valid, counts,
-                                    queries=None):
+                                    queries=None, packed=None):
     """Batched neighborhood-size -> distance-threshold conversion.
 
     points [B,N,3] f32 (padded rows arbitrary), n_valid [B] int,
@@ -394,16 +466,18 @@ def neighborhood_thresholds_batched(points, n_valid, counts,
     nq = q_pts.shape[1]
     t_n = counts.shape[1]
     tile_q = 256
-    pp = _poison_pack(points, n_valid, _CAND)
-    ntp = pp.shape[1]
-    pad_q = (-nq) % tile_q
-    qp = jnp.pad(q_pts.astype(jnp.float32), ((0, 0), (0, pad_q),
-                                             (0, 0)))
-    qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
-    tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
-    q6, t6 = _pack_nn_operands(qpp, tpp)
-    tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
-    qn = jnp.sum(qp * qp, axis=-1)                          # [B, Nqp]
+    if packed is not None and queries is None:
+        _, q6, t6, tn, qn, _, _ = packed
+    else:
+        pp = _poison_pack(points, n_valid, _CAND)
+        pad_q = (-nq) % tile_q
+        qp = jnp.pad(q_pts.astype(jnp.float32), ((0, 0), (0, pad_q),
+                                                 (0, 0)))
+        qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
+        tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
+        q6, t6 = _pack_nn_operands(qpp, tpp)
+        tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
+        qn = jnp.sum(qp * qp, axis=-1)                      # [B, Nqp]
 
     # valid-distance upper bound (shifted space r = d2 - qn <= d2max):
     # 4 * max|p|^2 over valid rows, +1 so degenerate all-equal clouds
@@ -422,47 +496,47 @@ def neighborhood_thresholds_batched(points, n_valid, counts,
 
 
 def axis_sums_batched(points, n_valid, normal, ndotq, radius, thr_all,
-                      queries=None):
+                      queries=None, packed=None):
     """Batched TOLDI x-axis weighted sums.
 
     W_ij = M_all(i,j) * (radius_i - d_ij)^2 * (n_i . (p_j - q_i))^2
     (self term vanishes: zdot_ii = 0).  ``normal``/``ndotq``/``radius``/
     ``thr_all`` are per QUERY; ``queries`` [B,Nq,3] optionally restricts
-    the query rows (default: the full cloud).  Returns
-    (W @ p [B,Nq,3], sum_j W [B,Nq]).
+    the query rows (default: the full cloud).  ``packed``: optional
+    shared operands from ``pack_cloud_batched`` (full-cloud queries
+    only).  Returns (W @ p [B,Nq,3], sum_j W [B,Nq]).
     """
     q_pts = points if queries is None else queries
     bsz, n, _ = points.shape
     nq = q_pts.shape[1]
-    # tighter budget than the moments kernel: the axis body keeps ~4
-    # live [tile_q, tile_t] f32 tiles (r, ndp, w, limb temporaries) --
-    # 256-row tiles overflowed the 16 MB scoped VMEM by 192 KB
-    tile_q, tile_t = _pick_tiles(nq, n, budget=2 * 1024 * 1024)
-    pp = _poison_pack(points, n_valid, tile_t)
-    pad_q = (-nq) % tile_q
-    qp = jnp.pad(q_pts.astype(jnp.float32), ((0, 0), (0, pad_q),
-                                             (0, 0)))
-    qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
-    tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
-    q6, t6 = _pack_nn_operands(qpp, tpp)
-    tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
-    qn = jnp.sum(qp * qp, axis=-1)
+    if packed is not None and queries is None:
+        _, q6, t6, tn, qn, _, r16 = packed
+        tile_t = _packed_tile_t(packed)
+        # tighter budget than the moments kernel: the axis body keeps
+        # ~4 live [tile_q, tile_t] f32 tiles (r, ndp, w, limb temps)
+        tile_q = _tile_q_for(tile_t, 2 * 1024 * 1024)
+        pad_q = qn.shape[1] - nq
+    else:
+        tile_q, tile_t = _pick_tiles(nq, n, budget=2 * 1024 * 1024)
+        pp = _poison_pack(points, n_valid, tile_t)
+        pad_q = (-nq) % tile_q
+        qp = jnp.pad(q_pts.astype(jnp.float32), ((0, 0), (0, pad_q),
+                                                 (0, 0)))
+        qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
+        tpp = jnp.pad(pp, ((0, 0), (0, 0), (0, 5)))
+        q6, t6 = _pack_nn_operands(qpp, tpp)
+        tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
+        qn = jnp.sum(qp * qp, axis=-1)
+        r16 = _axis_feature_block(pp)
+
     npad = jnp.pad(normal.astype(jnp.float32),
                    ((0, 0), (0, pad_q), (0, 5)))
-    n6, _ = _pack_nn_operands(npad, tpp)
+    n6, _ = _pack_nn_operands(npad, npad)
 
     def padq(x):
         return jnp.pad(x, ((0, 0), (0, pad_q)))
     aux = jnp.stack([padq(thr_all) - qn, qn, padq(radius),
                      padq(ndotq)], axis=-1)                 # [B,Nqp,4]
-
-    ones = jnp.ones(pp.shape[:2] + (1,), jnp.float32)
-    feat = jnp.concatenate([pp, ones, jnp.zeros(pp.shape[:2] + (4,),
-                                                jnp.float32)], -1)
-    fh, fl = feat.astype(jnp.bfloat16), None
-    fh_f = jax.lax.reduce_precision(feat, 8, 7)
-    fl = (feat - fh_f).astype(jnp.bfloat16)
-    r16 = jnp.concatenate([fh_f.astype(jnp.bfloat16), fl], -1)
 
     out = _axis_padded(q6, t6, n6, tn, aux, r16, tile_q, tile_t)
     out = out[:, :nq]
