@@ -476,6 +476,20 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         emb_a = tgt_embed_A if is_se3 else tgt_embed_B
         t6_pair, tn_pair, pay3 = knn.pack_match_targets(
             emb_a, tgt_embed_B, payload, n_tgt, ns)
+        # static per-point query features for the affine-factored match
+        # kernel: the per-iteration embedding q is affine in
+        # [F^T(9) | s(3) | 1], with R/t/alpha/beta/phase folded into a
+        # tiny [16,16] matrix built in the loop body -- so the loop
+        # carries NO [Ns,12]-scale query rebuild/select/limb work
+        if is_se3:
+            feat9 = jnp.swapaxes(rot_s0, -1, -2).reshape(ns, 9)
+        else:
+            feat9 = jnp.zeros((ns, 9), dtype)
+        feat16 = jnp.concatenate(
+            [feat9, src_c, jnp.ones((ns, 1), dtype),
+             jnp.zeros((ns, 3), dtype)], axis=-1)
+        # feature-major source positions for the transposed loop math
+        src_cT = src_c.T                                  # [3, Ns]
 
     if setup_only:
         # sharding-consistency oracle: return a checksum that keeps
@@ -565,62 +579,96 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         it = s["it"] + 1
         switched = s["switched"]
 
-        src_moving = src_c @ R.T + tvec
-
         # --- correspondence search through the unified 12-D kernel
-        if is_se3:
-            # current source frames = T o (weighted initial frames),
-            # replicating the per-iteration left-multiplication
-            # (ref:cpp:713-716)
-            cur_rot = jnp.einsum("ij,njk->nik", R, frot_s0)
-            cur_tra = ftra_s0 @ R.T + tvec
-            q_A = _embed12(cur_rot, cur_tra)
-            q = jnp.where(switched, _embed12(
-                jnp.zeros((ns, 3, 3), dtype), src_moving), q_A)
-            e = jnp.where(switched, tgt_embed_B, tgt_embed_A)
-        else:
-            q = _embed12(jnp.zeros((ns, 3, 3), dtype), src_moving)
-            e = tgt_embed_B
-        if points_axis is None:
-            # fused search + matched-row payload: no index gathers in
-            # the hot loop (see knn.nn_match / nn_match_packed)
-            if use_packed:
-                midx, _, matched = knn.nn_match_packed(
-                    q, t6_pair, tn_pair, pay3,
+        if not use_packed:
+            src_moving = src_c @ R.T + tvec
+            if is_se3:
+                # translation block of the current source frames (the
+                # R3-metric trim/MSE source in phase A, ref:cpp:465)
+                cur_tra = ftra_s0 @ R.T + tvec
+        if use_packed:
+            # affine-factored query: q = feat @ W with W [16,16] from
+            # (R, t, alpha, beta, phase) -- built in-kernel, so the
+            # loop body carries no [Ns,12] embed/select/limb work
+            Rt = R.T
+            if is_se3:
+                ph_a = jnp.where(switched, jnp.zeros((), dtype),
+                                 f_alpha)
+                c_s = jnp.where(switched, jnp.ones((), dtype), f_beta)
+                blk = ph_a * Rt
+            else:
+                c_s = jnp.ones((), dtype)
+                blk = jnp.zeros((3, 3), dtype)
+            W = (jnp.zeros((16, 16), dtype)
+                 .at[0:3, 0:3].set(blk)
+                 .at[3:6, 3:6].set(blk)
+                 .at[6:9, 6:9].set(blk)
+                 .at[9:12, 9:12].set(c_s * Rt)
+                 .at[12, 9:12].set(tvec))
+            if points_axis is None:
+                midx, _, matched_T = knn.nn_match_affine(
+                    feat16, W, t6_pair, tn_pair, pay3,
                     switched.astype(jnp.int32))
             else:
-                midx, _, matched = knn.nn_match(q, e, payload, n_tgt)
-        else:
-            # model-parallel hot loop: each device searches its query-row
-            # slice against the (replicated) targets.  On TPU the fused
-            # kernel returns the matched payload rows directly (argmin
-            # one-hot matmul -- no scalar-bound gather, VERDICT r1 item
-            # 4) and the [chunk,P] rows ride the all_gather; elsewhere
-            # only the int32 match vector is gathered (4 B/point) and
-            # the payload rows are indexed.
-            if use_packed:
-                midx_l, _, matched_l = knn.nn_match_packed(
-                    _my_rows(q, points_axis), t6_pair, tn_pair, pay3,
-                    switched.astype(jnp.int32))
+                # model-parallel hot loop: each device matches its
+                # feature-row slice against the (replicated) targets;
+                # the matched payload rows ride the all_gather (no
+                # scalar-bound gather, VERDICT r1 item 4)
+                midx_l, _, matched_Tl = knn.nn_match_affine(
+                    _my_rows(feat16, points_axis), W, t6_pair, tn_pair,
+                    pay3, switched.astype(jnp.int32))
                 midx = _gather_rows(midx_l, points_axis)
-                matched = _gather_rows(matched_l, points_axis)
+                matched_T = jax.lax.all_gather(
+                    matched_Tl, points_axis, axis=1, tiled=True)
+        else:
+            if is_se3:
+                # current source frames = T o (weighted initial
+                # frames), replicating the per-iteration
+                # left-multiplication (ref:cpp:713-716)
+                cur_rot = jnp.einsum("ij,njk->nik", R, frot_s0)
+                q_A = _embed12(cur_rot, cur_tra)
+                q = jnp.where(switched, _embed12(
+                    jnp.zeros((ns, 3, 3), dtype), src_moving), q_A)
+                e = jnp.where(switched, tgt_embed_B, tgt_embed_A)
+            else:
+                q = _embed12(jnp.zeros((ns, 3, 3), dtype), src_moving)
+                e = tgt_embed_B
+            if points_axis is None:
+                midx, _, matched = knn.nn_match(q, e, payload, n_tgt)
             else:
                 midx_l, _ = knn.nn_argmin(_my_rows(q, points_axis), e,
                                           n_tgt)
                 midx = _gather_rows(midx_l, points_axis)
                 matched = payload[midx]
-        tgt_m = matched[:, :3]
-
         # --- stored distance (trim + mse source): R3 metric in both
-        #     phases (ref:cpp:411, 436, 465)
-        if is_se3:
-            tr_beta_m = matched[:, _pay_off["tr_beta"]:
-                                _pay_off["tr_beta"] + 3]
-            d_A = jnp.linalg.norm(cur_tra - tr_beta_m, axis=-1)
-            d_B = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
-            dist = jnp.where(switched, d_B, d_A)
+        #     phases (ref:cpp:411, 436, 465).  On the fused route every
+        #     per-point tensor stays feature-major ([3,N]/[6,N]) so the
+        #     small feature axis never sits on the vector lanes.
+        if use_packed:
+            tgt_mT = matched_T[:3]
+            src_movingT = R @ src_cT + tvec[:, None]
+            diffB = src_movingT - tgt_mT
+            d_B = jnp.sqrt(jnp.sum(diffB * diffB, axis=0))
+            if is_se3:
+                cur_traT = f_beta * (R @ src_cT) + tvec[:, None]
+                tr_beta_mT = matched_T[_pay_off["tr_beta"]:
+                                       _pay_off["tr_beta"] + 3]
+                diffA = cur_traT - tr_beta_mT
+                d_A = jnp.sqrt(jnp.sum(diffA * diffA, axis=0))
+                dist = jnp.where(switched, d_B, d_A)
+            else:
+                dist = d_B
         else:
-            dist = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
+            tgt_m = matched[:, :3]
+            if is_se3:
+                tr_beta_m = matched[:, _pay_off["tr_beta"]:
+                                    _pay_off["tr_beta"] + 3]
+                d_A = jnp.linalg.norm(cur_tra - tr_beta_m, axis=-1)
+                d_B = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
+                dist = jnp.where(switched, d_B, d_A)
+            else:
+                d_B = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
+                dist = d_B
 
         # --- trimmed rejection (ref:cpp:669-671)
         kept = trim.trim_mask(dist, src_valid, cfg.estimated_overlap, n_src)
@@ -628,8 +676,7 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         # --- convergence MSE (mean kept distance; with_cf recomputes
         #     euclidean moving-vs-target, ref:cpp:897)
         if use_cf:
-            mse_val = trim.masked_mean(
-                jnp.linalg.norm(src_moving - tgt_m, axis=-1), kept)
+            mse_val = trim.masked_mean(d_B, kept)
         else:
             mse_val = trim.masked_mean(dist, kept)
         mse_prev = s["mse_cur"]
@@ -638,18 +685,38 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         # --- transform estimation
         w = kept.astype(dtype)
         if eff_variant == "pt2pt":
-            T_i = solve.solve_pt2pt(src_moving, tgt_m, w)
+            if use_packed:
+                T_i = solve.solve_pt2pt_T(src_movingT, tgt_mT, w)
+            else:
+                T_i = solve.solve_pt2pt(src_moving, tgt_m, w)
         elif eff_variant == "pt2pl":
-            nrm_m = matched[:, _pay_off["normals"]:
-                            _pay_off["normals"] + 3]
-            T_i = solve.solve_pt2pl(src_moving, tgt_m, nrm_m, w)
+            if use_packed:
+                nrm_mT = matched_T[_pay_off["normals"]:
+                                   _pay_off["normals"] + 3]
+                T_i = solve.solve_pt2pl_T(src_movingT, tgt_mT, nrm_mT,
+                                          w)
+            else:
+                nrm_m = matched[:, _pay_off["normals"]:
+                                _pay_off["normals"] + 3]
+                T_i = solve.solve_pt2pl(src_moving, tgt_m, nrm_m, w)
         else:
+            if use_packed:
+                # the per-point 3x3 whitening math stays row-major;
+                # one relayout back from the transposed payload
+                src_moving = src_movingT.T
+                tgt_m = tgt_mT.T
+                cov_t_m = jnp.swapaxes(
+                    matched_T[_pay_off["cov"]:_pay_off["cov"] + 9],
+                    0, 1).reshape(ns, 3, 3)
+            else:
+                cov_t_m = matched[:, _pay_off["cov"]:
+                                  _pay_off["cov"] + 9].reshape(ns, 3, 3)
             cov_s_cur = jnp.einsum("ij,njk,lk->nil", R, cov_src0, R)
-            cov_t_m = matched[:, _pay_off["cov"]:
-                              _pay_off["cov"] + 9].reshape(ns, 3, 3)
             conf = None
             if use_cf:
-                conf = 0.5 * (conf_src + matched[:, _pay_off["conf_t"]])
+                conf_t_m = (matched_T[_pay_off["conf_t"]] if use_packed
+                            else matched[:, _pay_off["conf_t"]])
+                conf = 0.5 * (conf_src + conf_t_m)
             T_i = solve.solve_gicp(src_moving, tgt_m, cov_s_cur,
                                    cov_t_m, w, conf)
 

@@ -429,6 +429,29 @@ def pack_match_targets(targets_a, targets_b, payload, n_targets, nq):
 
 
 @jax.custom_batching.custom_vmap
+def nn_match_affine(feat, w, t6_pair, tn_pair, pay3, phase):
+    """Fused match with the query embedding built in-kernel from
+    static per-point features and a per-pair [16,16] affine (TPU only
+    -- guard call sites with ``use_fused_match``).  See
+    pallas_knn.nn_match_affine.  Unbatched calls run as a batch of
+    one."""
+    from se3_icp_tpu.ops import pallas_knn
+    idx, d2, matched = pallas_knn.nn_match_affine(
+        feat[None], w[None], t6_pair[None], tn_pair[None], pay3[None],
+        phase[None])
+    return idx[0], d2[0], matched[0]
+
+
+@nn_match_affine.def_vmap
+def _nn_match_affine_vmap_rule(axis_size, in_batched, feat, w, t6_pair,
+                               tn_pair, pay3, phase):
+    from se3_icp_tpu.ops import pallas_knn
+    args = [feat, w, t6_pair, tn_pair, pay3, phase]
+    args = [_bcast(a, b, axis_size) for a, b in zip(args, in_batched)]
+    return pallas_knn.nn_match_affine(*args), (True, True, True)
+
+
+@jax.custom_batching.custom_vmap
 def nn_match_packed(queries, t6_pair, tn_pair, pay3, phase):
     """Fused match against pre-packed dual-phase targets (TPU only --
     guard call sites with ``use_fused_match``).  Unbatched calls run as

@@ -574,6 +574,158 @@ def _nn_match_packed_padded(phase, q6, t6_pair, tn_pair, pay3,
             best_pay)
 
 
+# Affine-factored query variant: the engine's per-iteration query
+# embedding is AFFINE in static per-point features --
+#   q[3i:3i+3] = alpha*ph * (F^T)_i R^T   (SE(3) rotation block)
+#   q[9:12]    = c_s * s R^T + t          (translation block)
+# -- so instead of rebuilding/limb-splitting [B,Nq,12] queries in XLA
+# every iteration (select + concat + convert fusions measured ~2.5
+# ms/iter at 64x4608 on v5e, all narrow-minor-dim HBM passes), the
+# kernel takes the STATIC feature block  feat = [F^T(9) | s(3) | 1 |
+# 0(3)]  packed once in setup and a tiny per-pair [16,16] matrix
+# W(R, t, alpha, beta, phase); it computes q = feat @ W and the exact
+# bf16 limb split IN KERNEL, where the intermediates never touch HBM.
+
+def _kernel_match_affine(phase_ref, feat_ref, w_ref, t_ref, tn_ref,
+                         pay_ref, best_d2_ref, best_idx_ref,
+                         best_pay_ref):
+    del phase_ref  # consumed by the index maps
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    tile_t = t_ref.shape[2]
+
+    q = jax.lax.dot_general(
+        feat_ref[0], w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)       # [tile_q, 16] f32
+    # exact 3-limb bf16 split with plain converts (reduce_precision is
+    # not lowerable in-kernel; XLA's excess-precision elision does not
+    # reach inside -- see _kernel_axis)
+    qh = q.astype(jnp.bfloat16)
+    r1 = q - qh.astype(jnp.float32)
+    qm = r1.astype(jnp.bfloat16)
+    ql = (r1 - qm.astype(jnp.float32)).astype(jnp.bfloat16)
+    q6 = jnp.concatenate([qh, qh, qm, qh, ql, qm], axis=-1)
+
+    prod = jax.lax.dot_general(
+        q6, t_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    d2 = tn_ref[0, 0] - 2.0 * prod
+
+    tile_min = jnp.min(d2, axis=1)
+    am = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    tile_arg = am + j * tile_t
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    onehot = (col == am[:, None]).astype(jnp.bfloat16)
+    # matched payload emitted TRANSPOSED [3P, tile_q]: the loop-body
+    # consumers (distance norms, pt2pl residual/Jacobian) reduce over
+    # the small feature axis, so a [P, N] layout keeps their minor dim
+    # at N (full lanes) instead of P (~90% wasted vectors)
+    pay3 = jax.lax.dot_general(
+        pay_ref[0], onehot, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)      # [3P, tile_q]
+    p_w = pay3.shape[0] // 3
+    pay = pay3[:p_w] + pay3[p_w:2 * p_w] + pay3[2 * p_w:]
+
+    @pl.when(j == 0)
+    def _init():
+        best_d2_ref[0, i, :] = tile_min
+        best_idx_ref[0, i, :] = tile_arg
+        best_pay_ref[0, :, :] = pay
+
+    @pl.when(j != 0)
+    def _combine():
+        cur = best_d2_ref[0, i, :]
+        better = tile_min < cur
+        best_d2_ref[0, i, :] = jnp.where(better, tile_min, cur)
+        best_idx_ref[0, i, :] = jnp.where(better, tile_arg,
+                                          best_idx_ref[0, i, :])
+        best_pay_ref[0, :, :] = jnp.where(better[None, :], pay,
+                                          best_pay_ref[0, :, :])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "tile_t"))
+def _nn_match_affine_padded(phase, feat, w, t6_pair, tn_pair, pay3,
+                            tile_q: int, tile_t: int):
+    bsz, nqp, fdim = feat.shape
+    nt = t6_pair.shape[2]
+    p3 = pay3.shape[2]
+    p_w = p3 // 3
+    ni = nqp // tile_q
+    grid = (bsz, ni, nt // tile_t)
+
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, fdim),
+                         lambda b, i, j, ph: (b, i, 0)),
+            pl.BlockSpec((1, fdim, fdim),
+                         lambda b, i, j, ph: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_t, t6_pair.shape[3]),
+                         lambda b, i, j, ph: (b, ph[b], j, 0)),
+            pl.BlockSpec((1, 1, 1, tile_t),
+                         lambda b, i, j, ph: (b, ph[b], 0, j)),
+            pl.BlockSpec((1, tile_t, p3),
+                         lambda b, i, j, ph: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ni, tile_q), lambda b, i, j, ph: (b, 0, 0)),
+            pl.BlockSpec((1, ni, tile_q), lambda b, i, j, ph: (b, 0, 0)),
+            pl.BlockSpec((1, p_w, tile_q),
+                         lambda b, i, j, ph: (b, 0, i)),
+        ],
+    )
+    best_d2, best_idx, best_pay = pl.pallas_call(
+        _kernel_match_affine,
+        grid_spec=spec,
+        interpret=_interpret(),
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, p_w, nqp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * nqp * nt * (6 * fdim + p3),
+            bytes_accessed=2 * bsz * (nqp * fdim
+                                      + (nt * (t6_pair.shape[3] + p3))
+                                      * ni + 4 * nqp * (2 + p3)),
+            transcendentals=0,
+        ),
+    )(phase.astype(jnp.int32), feat, w, t6_pair, tn_pair, pay3)
+    return (best_idx.reshape(bsz, -1), best_d2.reshape(bsz, -1),
+            best_pay)
+
+
+def nn_match_affine(feat, w, t6_pair, tn_pair, pay3, phase):
+    """Batched fused match with the query embedding built IN KERNEL
+    from static features and a per-pair affine matrix.
+
+    feat [B,Nq,16] f32 static per-point features, w [B,16,16] f32
+    per-iteration affine (q = feat @ w), targets/payload as packed by
+    ``pack_match_targets``, phase [B] int.
+    Returns (idx [B,Nq] int32, d2_shifted [B,Nq] f32, matchedT
+    [B,P,Nq] f32 -- the payload rows TRANSPOSED so downstream
+    feature-axis reductions run with N on the lanes).  NOTE: d2 omits
+    the +|q|^2 shift (argmin-equivalent; the engine discards it).
+    """
+    bsz, nq, fdim = feat.shape
+    ntp = t6_pair.shape[2]
+    tile_q, tile_t = _pick_tiles(nq, ntp)
+    featp = jnp.pad(feat.astype(jnp.float32),
+                    ((0, 0), (0, (-nq) % tile_q), (0, 0)))
+    idx, d2, matched_t = _nn_match_affine_padded(
+        phase, featp, w.astype(jnp.float32), t6_pair, tn_pair, pay3,
+        tile_q, tile_t)
+    return (idx[:, :nq], d2[:, :nq],
+            matched_t[:, :, :nq].astype(feat.dtype))
+
+
 def pack_match_targets(targets_a, targets_b, payload, n_targets, nq):
     """Pre-pack BOTH phase variants of the target embedding + the
     (phase-independent) payload for ``nn_match_packed``.

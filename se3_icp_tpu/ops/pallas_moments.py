@@ -370,7 +370,15 @@ _T_PAD = 8           # threshold-count padding (lane alignment)
 
 
 def _kernel_thresholds(t_real, counts_ref, hib_ref, q6_ref, t6_ref,
-                       tn_ref, out_ref):
+                       tn_ref, qn_ref, out_ref):
+    """Candidate fold + per-count bisection, laid out TRANSPOSED:
+    cand is [_CAND, tile_q] so the per-step membership count reduces
+    over SUBLANES (vectorized row adds with every lane busy) instead of
+    across lanes -- the cross-lane reduce in the original layout made
+    the 24x3-step bisection pure-VPU bound (~21 ms per 128-cloud batch
+    on v5e).  Counting stays f32: a bf16 variant was ~2x cheaper still
+    but its 0.4% value quantization adds +-3 boundary members vs the
+    +-2 exactness the count tests pin."""
     b = pl.program_id(0)
     tile_q = q6_ref.shape[1]
     ntp = t6_ref.shape[1]
@@ -380,41 +388,45 @@ def _kernel_thresholds(t_real, counts_ref, hib_ref, q6_ref, t6_ref,
         t6 = t6_ref[0, pl.ds(s * _CAND, _CAND), :]
         tn = tn_ref[0, 0, pl.ds(s * _CAND, _CAND)]
         prod = jax.lax.dot_general(
-            q6, t6, dimension_numbers=(((1,), (1,)), ((), ())),
+            t6, q6, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)
-        return jnp.minimum(cand, tn[None, :] - 2.0 * prod)
+            precision=jax.lax.Precision.DEFAULT)   # [_CAND, tile_q]
+        return jnp.minimum(cand, tn[:, None] - 2.0 * prod)
 
     cand = jax.lax.fori_loop(
         0, ntp // _CAND, fold,
-        jnp.full((tile_q, _CAND), 3.0e38, jnp.float32))
+        jnp.full((_CAND, tile_q), 3.0e38, jnp.float32))
+    # un-shift to ABSOLUTE squared distances (keeps the values
+    # positive and directly comparable to the consumers' d2 form)
+    cand = cand + qn_ref[0][:, 0][None, :]
     # clamp poisoned lanes (possible when n_valid < _CAND) so the
     # bracket top stays at the true valid-distance bound
     cand = jnp.minimum(cand, hib_ref[b])
-    lo0 = jnp.min(cand, axis=1, keepdims=True)     # [tile_q, 1]
-    hi0 = jnp.max(cand, axis=1, keepdims=True)
+    cand = jnp.maximum(cand, 0.0)
+    lo0 = jnp.min(cand, axis=0, keepdims=True)     # [1, tile_q]
+    hi0 = jnp.max(cand, axis=0, keepdims=True)
 
-    cols = []
+    rows = []
     for t in range(t_real):
         tgt = counts_ref[b, t]
 
         def step(_, lh):
             lo, hi = lh
-            mid = 0.5 * (lo + hi)
-            cnt = jnp.sum((cand <= mid).astype(jnp.float32), axis=1,
+            mid = 0.5 * (lo + hi)                  # [1, tile_q] f32
+            cnt = jnp.sum((cand <= mid).astype(jnp.float32), axis=0,
                           keepdims=True)
             pred = cnt >= tgt
             return (jnp.where(pred, lo, mid), jnp.where(pred, mid, hi))
 
         _, hi = jax.lax.fori_loop(0, _BISECT_STEPS, step, (lo0, hi0))
-        cols.append(hi)
-    cols.extend([jnp.zeros((tile_q, 1), jnp.float32)]
+        rows.append(hi)
+    rows.extend([jnp.zeros((1, tile_q), jnp.float32)]
                 * (_T_PAD - t_real))
-    out_ref[0] = jnp.concatenate(cols, axis=1)     # [tile_q, _T_PAD]
+    out_ref[0] = jnp.concatenate(rows, axis=0)     # [_T_PAD, tile_q]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "t_real"))
-def _thresholds_padded(counts, hib, q6, t6, tn, tile_q: int,
+def _thresholds_padded(counts, hib, q6, t6, tn, qn, tile_q: int,
                        t_real: int):
     bsz, nqp, _ = q6.shape
     ntp = t6.shape[1]
@@ -429,10 +441,11 @@ def _thresholds_padded(counts, hib, q6, t6, tn, tile_q: int,
             pl.BlockSpec((1, tile_q, q6.shape[2]), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, ntp, t6.shape[2]), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, ntp), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tile_q, 1), lambda b, i: (b, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile_q, _T_PAD),
-                               lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, nqp, _T_PAD), jnp.float32),
+        out_specs=pl.BlockSpec((1, _T_PAD, tile_q),
+                               lambda b, i: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((bsz, _T_PAD, nqp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * nqp * ntp * (q6.shape[2]
                                          + 2 * _T_PAD * _BISECT_STEPS
@@ -441,7 +454,7 @@ def _thresholds_padded(counts, hib, q6, t6, tn, tile_q: int,
                                       + ntp * t6.shape[2]
                                       + 2 * nqp * _T_PAD),
             transcendentals=0),
-    )(counts, hib, q6, t6, tn)
+    )(counts, hib, q6, t6, tn, qn[:, :, None])
 
 
 def neighborhood_thresholds_batched(points, n_valid, counts,
@@ -491,8 +504,11 @@ def neighborhood_thresholds_batched(points, n_valid, counts,
                      n_valid[:, None].astype(jnp.int32))
     cc = jnp.pad(cc, ((0, 0), (0, _T_PAD - t_n)),
                  constant_values=1).astype(jnp.float32)
-    out = _thresholds_padded(cc, hib, q6, t6, tn, tile_q, t_n)
-    return out[:, :nq, :t_n] + qn[:, :nq, None]
+    out = _thresholds_padded(cc, hib, q6, t6, tn, qn, tile_q, t_n)
+    # kernel emits [B, T, Nqp] ABSOLUTE thresholds (transposed for the
+    # sublane-reduce bisection; un-shifted in-kernel); the [B,Nq,T]
+    # consumer layout is a tiny XLA transpose
+    return jnp.swapaxes(out[:, :t_n, :nq], 1, 2)
 
 
 def axis_sums_batched(points, n_valid, normal, ndotq, radius, thr_all,

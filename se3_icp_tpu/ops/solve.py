@@ -123,6 +123,50 @@ def solve_gicp(src, tgt, cov_src, cov_tgt, weights, conf=None):
     return _safe_transform(solve_normal_equations(JTJ, JTr), ok)
 
 
+def solve_pt2pl_T(srcT, tgtT, nT, weights):
+    """``solve_pt2pl`` on feature-major [3,N] operands.
+
+    The TPU hot loop keeps per-point data TRANSPOSED ([3,N] / [6,N]) so
+    every elementwise op and reduction runs with the large N axis on
+    the vector lanes; the row-major [N,3] form wastes ~90% of each
+    128-lane transaction (measured ~4 ms/iter of narrow-dim fusions at
+    64x4608 on v5e).  Same math as solve_pt2pl.
+    """
+    dtype = srcT.dtype
+    w = weights.astype(dtype)
+    r = jnp.sum((srcT - tgtT) * nT, axis=0)               # [N]
+    cx = srcT[1] * nT[2] - srcT[2] * nT[1]
+    cy = srcT[2] * nT[0] - srcT[0] * nT[2]
+    cz = srcT[0] * nT[1] - srcT[1] * nT[0]
+    JT = jnp.stack([cx, cy, cz, nT[0], nT[1], nT[2]])     # [6,N]
+    JTw = JT * w[None, :]
+    JTJ = jnp.einsum("in,jn->ij", JTw, JT)
+    JTr = JTw @ r
+    ok = jnp.sum(w) > 5.5
+    return _safe_transform(solve_normal_equations(JTJ, JTr), ok)
+
+
+def solve_pt2pt_T(srcT, tgtT, weights):
+    """``solve_pt2pt`` on feature-major [3,N] operands (see
+    solve_pt2pl_T)."""
+    dtype = srcT.dtype
+    w = weights.astype(dtype)[None, :]
+    wsum = jnp.sum(w)
+    ok = wsum > 2.5
+    wsafe = jnp.maximum(wsum, jnp.asarray(1e-30, dtype))
+    mu_s = jnp.sum(srcT * w, axis=1) / wsafe
+    mu_t = jnp.sum(tgtT * w, axis=1) / wsafe
+    dsw = (srcT - mu_s[:, None]) * w
+    dt = tgtT - mu_t[:, None]
+    H = jnp.einsum("in,jn->ij", dt, dsw)
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], dtype)).at[2, 2].set(d)
+    R = U @ D @ Vt
+    t = mu_t - R @ mu_s
+    return _safe_transform(se3.rt_to_T(R, t), ok)
+
+
 def estimate_transform(variant: str, src, tgt, weights, *,
                        tgt_normals=None, cov_src=None, cov_tgt=None,
                        conf=None):
