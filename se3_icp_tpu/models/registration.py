@@ -318,6 +318,14 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                 _my_rows(tgt_c, points_axis), tgt_c, k_tgt, n_tgt)
 
     # --- SE(3) frames + alpha/beta weighting (ref:cpp:586-626)
+    # On the thr route the frames travel TRANSPOSED ([9,Nq] rows
+    # x0,x1,x2,y0,y1,y2,z0,z1,z2 = the row-major flattening of F^T):
+    # all LRF glue, the 12-D embeddings, and the affine-kernel feature
+    # rows are component-major, so the setup never runs elementwise
+    # passes with a 3-wide minor dim.  rot_s0/rot_t0 (row-major
+    # [Nq,3,3]) are materialized only where a consumer needs them.
+    rot_t9_s = rot_t9_t = None
+    rot_s0 = rot_t0 = None
     if is_se3:
         alpha = f_alpha
         beta = f_beta
@@ -325,19 +333,21 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
             klrf = cfg.number_of_nn_for_lrf
             if use_thr:
                 rz_lrf = klrf // 3
-                rot_s0, _ = lrf.toldi_frames_thr(
-                    src_c, thr_src[:, cpos_src[rz_lrf]],
-                    thr_src[:, cpos_src[rz_lrf + 1]],
-                    thr_src[:, cpos_src[klrf]], klrf, n_src,
+                rot_t9_s = lrf.toldi_frames_thr_t(
+                    src_c, thr_src[cpos_src[rz_lrf]],
+                    thr_src[cpos_src[rz_lrf + 1]],
+                    thr_src[cpos_src[klrf]], klrf, n_src,
                     queries=q_src, packed=packed_src)
-                rot_t0, _ = lrf.toldi_frames_thr(
-                    tgt_c, thr_tgt[:, cpos_tgt[rz_lrf]],
-                    thr_tgt[:, cpos_tgt[rz_lrf + 1]],
-                    thr_tgt[:, cpos_tgt[klrf]], klrf, n_tgt,
+                rot_t9_t = lrf.toldi_frames_thr_t(
+                    tgt_c, thr_tgt[cpos_tgt[rz_lrf]],
+                    thr_tgt[cpos_tgt[rz_lrf + 1]],
+                    thr_tgt[cpos_tgt[klrf]], klrf, n_tgt,
                     queries=q_tgt, packed=packed_tgt)
                 if points_axis is not None:
-                    rot_s0 = _gather_rows(rot_s0, points_axis)
-                    rot_t0 = _gather_rows(rot_t0, points_axis)
+                    rot_t9_s = jax.lax.all_gather(
+                        rot_t9_s, points_axis, axis=1, tiled=True)
+                    rot_t9_t = jax.lax.all_gather(
+                        rot_t9_t, points_axis, axis=1, tiled=True)
             elif points_axis is None:
                 # gather-free path: masked-matmul neighborhood
                 # reductions (random row gathers are scalar-bound on
@@ -376,14 +386,29 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                 rot_t0, _ = lrf.shot_frames(tgt_c, cfg.lrf_radius,
                                             max_k=cfg.shot_max_k,
                                             n_valid=n_tgt)
-        frot_s0 = rot_s0 * alpha                     # [Ns,3,3]
+        use_packed_loop = knn.use_fused_match()
+        if rot_t9_s is not None and not use_packed_loop:
+            # the XLA (non-fused) loop rebuilds queries from row-major
+            # frames each iteration; one relayout out of the
+            # component-major thr setup
+            rot_s0 = lrf._rot_t9_to_rot(rot_t9_s[None])[0]
+        if rot_s0 is not None:
+            frot_s0 = rot_s0 * alpha                 # [Ns,3,3]
+        else:
+            frot_s0 = None                           # packed loop: W
         ftra_s0 = src_c * beta                       # [Ns,3]
         # target 12-D embedding, built once: rotation block alpha-weighted;
         # translation rows are beta-weighted points for run_se3_icp /
         # run_se3_pure (ref:cpp:622-624, 1032-1034) but the RAW
         # centered+scaled points for with_cf (quirk, ref:cpp:834-836).
         tgt_tr_A = tgt_c if use_cf else tgt_c * beta
-        tgt_embed_A = _embed12(rot_t0 * alpha, tgt_tr_A)
+        if rot_t9_t is not None:
+            # component-major build + ONE wide transpose (the row-major
+            # route pays a [Nt,3,3] minor-dim swapaxes inside _embed12)
+            tgt_embed_A = jnp.concatenate(
+                [rot_t9_t * alpha, tgt_tr_A.T], axis=0).T
+        else:
+            tgt_embed_A = _embed12(rot_t0 * alpha, tgt_tr_A)
         # beta-weighted target translations: trimming distance source
         # in phase A (ref:cpp:465 uses target_se3_cloud_.col(3))
         tgt_tr_beta = tgt_c * beta
@@ -412,12 +437,14 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     tgt_normals = cov_src0 = cov_tgt = None
     if eff_variant == "pt2pl":
         if use_thr:
-            tgt_normals = lrf.normals_thr(
-                tgt_c, thr_tgt[:, cpos_tgt[cfg.normals_knn]],
+            tgt_normals_t = lrf.normals_thr_t(
+                tgt_c, thr_tgt[cpos_tgt[cfg.normals_knn]],
                 cfg.normals_knn, n_tgt, queries=q_tgt,
                 packed=packed_tgt)
             if points_axis is not None:
-                tgt_normals = _gather_rows(tgt_normals, points_axis)
+                tgt_normals_t = jax.lax.all_gather(
+                    tgt_normals_t, points_axis, axis=1, tiled=True)
+            tgt_normals = tgt_normals_t.T
         elif points_axis is None:
             tgt_normals = lrf.normals_dense_fused(tgt_c, d2_tgt,
                                                   cfg.normals_knn, n_tgt)
@@ -428,11 +455,11 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     elif eff_variant == "gicp":
         if use_thr:
             cov_src0 = lrf.gicp_covariances_thr(
-                src_c, thr_src[:, cpos_src[cfg.gicp_normals_knn]],
+                src_c, thr_src[cpos_src[cfg.gicp_normals_knn]],
                 cfg.gicp_normals_knn, cfg.gicp_epsilon, n_src,
                 queries=q_src, packed=packed_src)
             cov_tgt = lrf.gicp_covariances_thr(
-                tgt_c, thr_tgt[:, cpos_tgt[cfg.gicp_normals_knn]],
+                tgt_c, thr_tgt[cpos_tgt[cfg.gicp_normals_knn]],
                 cfg.gicp_normals_knn, cfg.gicp_epsilon, n_tgt,
                 queries=q_tgt, packed=packed_tgt)
             if points_axis is not None:
@@ -481,15 +508,22 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         # [F^T(9) | s(3) | 1], with R/t/alpha/beta/phase folded into a
         # tiny [16,16] matrix built in the loop body -- so the loop
         # carries NO [Ns,12]-scale query rebuild/select/limb work
-        if is_se3:
-            feat9 = jnp.swapaxes(rot_s0, -1, -2).reshape(ns, 9)
-        else:
-            feat9 = jnp.zeros((ns, 9), dtype)
-        feat16 = jnp.concatenate(
-            [feat9, src_c, jnp.ones((ns, 1), dtype),
-             jnp.zeros((ns, 3), dtype)], axis=-1)
         # feature-major source positions for the transposed loop math
         src_cT = src_c.T                                  # [3, Ns]
+        if is_se3 and rot_t9_s is not None:
+            # thr route: frames already component-major == the feature
+            # rows; one wide transpose builds the whole block
+            feat16 = jnp.concatenate(
+                [rot_t9_s, src_cT, jnp.ones((1, ns), dtype),
+                 jnp.zeros((3, ns), dtype)], axis=0).T
+        else:
+            if is_se3:
+                feat9 = jnp.swapaxes(rot_s0, -1, -2).reshape(ns, 9)
+            else:
+                feat9 = jnp.zeros((ns, 9), dtype)
+            feat16 = jnp.concatenate(
+                [feat9, src_c, jnp.ones((ns, 1), dtype),
+                 jnp.zeros((ns, 3), dtype)], axis=-1)
 
     if setup_only:
         # sharding-consistency oracle: return a checksum that keeps
@@ -502,7 +536,11 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         # is RTT-dominated and not end-to-end comparable.)
         chk = jnp.sum(payload) + jnp.sum(tgt_embed_B)
         if is_se3:
-            chk = chk + jnp.sum(frot_s0) + jnp.sum(tgt_embed_A)
+            # frot_s0 only exists on the non-fused loop; the packed
+            # route keeps the frames transposed (same values)
+            fr = (jnp.sum(frot_s0) if frot_s0 is not None
+                  else jnp.sum(rot_t9_s * alpha))
+            chk = chk + fr + jnp.sum(tgt_embed_A)
         if use_packed:
             chk = chk + jnp.sum(tn_pair) + jnp.sum(
                 pay3.astype(jnp.float32)) + jnp.sum(

@@ -145,6 +145,128 @@ def smallest_eigvec3(A):
     return vecs[..., 0]
 
 
+@jax.jit
+def smallest_eigvec3_c(a00, a01, a02, a11, a12, a22):
+    """``smallest_eigvec3`` on COMPONENT-MAJOR operands.
+
+    Each argument is one symmetric-matrix component of shape [...]
+    (typically [N] or [B, N]); returns the smallest-eigenvalue unit
+    eigenvector as three arrays (v0, v1, v2) of the same shape.
+
+    Same Cardano + null-space/2x2-reduction scheme as ``eigh3``, but
+    expressed on per-component arrays so every elementwise op runs with
+    the large point axis on the TPU's vector lanes.  The [..., 3]/
+    [..., 3, 3] layout of ``eigh3`` puts a 3-wide minor dim on the
+    128-lane registers (~97% waste) -- measured ~10 ms of setup fusions
+    per 64-pair batch at 4608 points on v5e for the LRF normals alone.
+    """
+    dtype = a00.dtype
+    eps = jnp.asarray(1e-7 if dtype == jnp.float32 else 1e-14, dtype)
+
+    def _dot3(x, y):
+        return x[0] * y[0] + x[1] * y[1] + x[2] * y[2]
+
+    def _cross3(x, y):
+        return (x[1] * y[2] - x[2] * y[1],
+                x[2] * y[0] - x[0] * y[2],
+                x[0] * y[1] - x[1] * y[0])
+
+    def _where3(c, x, y):
+        return tuple(jnp.where(c, a, b) for a, b in zip(x, y))
+
+    scale = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(a00), jnp.abs(a01)),
+                    jnp.maximum(jnp.abs(a02), jnp.abs(a11))),
+        jnp.maximum(jnp.maximum(jnp.abs(a12), jnp.abs(a22)),
+                    jnp.asarray(1e-30, dtype)))
+    s00, s01, s02 = a00 / scale, a01 / scale, a02 / scale
+    s11, s12, s22 = a11 / scale, a12 / scale, a22 / scale
+
+    # --- Cardano eigenvalues (eigvalsh3 on components)
+    q = (s00 + s11 + s22) / 3.0
+    b00, b11, b22 = s00 - q, s11 - q, s22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22
+          + 2.0 * (s01 * s01 + s02 * s02 + s12 * s12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+    peps = jnp.asarray(1e-12 if dtype != jnp.float32 else 1e-7, dtype)
+    p_safe = jnp.where(p < peps, jnp.ones_like(p), p)
+    pinv = 1.0 / p_safe
+    d00, d11, d22 = b00 * pinv, b11 * pinv, b22 * pinv
+    d01, d02, d12 = s01 * pinv, s02 * pinv, s12 * pinv
+    det = (d00 * (d11 * d22 - d12 * d12)
+           - d01 * (d01 * d22 - d12 * d02)
+           + d02 * (d01 * d12 - d11 * d02))
+    r = jnp.clip(det * 0.5, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    two_p = jnp.where(p < peps, jnp.zeros_like(p), 2.0 * p)
+    e2 = q + two_p * jnp.cos(phi)
+    e0 = q + two_p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e1 = 3.0 * q - e0 - e2
+
+    # --- better-isolated extreme eigenvalue first
+    first_is_low = (e1 - e0) >= (e2 - e1)
+    lam_first = jnp.where(first_is_low, e0, e2)
+
+    # null vector of (A - lam I): max-norm cross of row pairs
+    r0 = (s00 - lam_first, s01, s02)
+    r1 = (s01, s11 - lam_first, s12)
+    r2 = (s02, s12, s22 - lam_first)
+    c01 = _cross3(r0, r1)
+    c02 = _cross3(r0, r2)
+    c12 = _cross3(r1, r2)
+    n01 = _dot3(c01, c01)
+    n02 = _dot3(c02, c02)
+    n12 = _dot3(c12, c12)
+    v12 = _where3(n02 >= n12, c02, c12)
+    nb12 = jnp.maximum(n02, n12)
+    v = _where3(n01 >= nb12, c01, v12)
+    nbest = jnp.maximum(n01, nb12)
+    ok = nbest > eps * eps
+    v = _where3(ok, v, (jnp.ones_like(v[0]), jnp.zeros_like(v[1]),
+                        jnp.zeros_like(v[2])))
+    nrm = jnp.sqrt(_dot3(v, v))
+    winv = 1.0 / jnp.maximum(nrm, eps)
+    w = (v[0] * winv, v[1] * winv, v[2] * winv)
+
+    # orthonormal complement (U, V) of w
+    use_x = jnp.abs(w[0]) > jnp.abs(w[2])
+    inv1 = 1.0 / jnp.maximum(jnp.sqrt(w[0] * w[0] + w[1] * w[1]), eps)
+    inv2 = 1.0 / jnp.maximum(jnp.sqrt(w[1] * w[1] + w[2] * w[2]), eps)
+    zero = jnp.zeros_like(w[0])
+    U = _where3(use_x, (-w[1] * inv1, w[0] * inv1, zero),
+                (zero, -w[2] * inv2, w[1] * inv2))
+    V = _cross3(w, U)
+
+    def _matvec(x):
+        return (s00 * x[0] + s01 * x[1] + s02 * x[2],
+                s01 * x[0] + s11 * x[1] + s12 * x[2],
+                s02 * x[0] + s12 * x[1] + s22 * x[2])
+
+    AU = _matvec(U)
+    AV = _matvec(V)
+    a = _dot3(U, AU)
+    b = _dot3(U, AV)
+    c = _dot3(V, AV)
+    lam_other = jnp.where(first_is_low, e2, e0)
+    d1x, d1y = b, lam_other - a
+    d2x, d2y = lam_other - c, b
+    n1 = d1x * d1x + d1y * d1y
+    n2 = d2x * d2x + d2y * d2y
+    pick1 = n1 >= n2
+    dx = jnp.where(pick1, d1x, d2x)
+    dy = jnp.where(pick1, d1y, d2y)
+    nd = jnp.sqrt(dx * dx + dy * dy)
+    dinv = 1.0 / jnp.maximum(nd, eps)
+    good = nd > eps
+    dx = jnp.where(good, dx * dinv, 1.0)
+    dy = jnp.where(good, dy * dinv, 0.0)
+    v_other = (dx * U[0] + dy * V[0], dx * U[1] + dy * V[1],
+               dx * U[2] + dy * V[2])
+
+    out = _where3(first_is_low, w, v_other)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("eps_clamp",))
 def inv_sqrt_sym3(A, eps_clamp=1e-12):
     """M^(-1/2) for symmetric PSD [...,3,3] via eigh (ref:cpp:78 uses

@@ -329,7 +329,7 @@ def neighborhood_thresholds(points, counts, n_valid):
     """Per-query squared-distance thresholds for the self-inclusive
     neighborhood sizes ``counts`` [T] -- the sort-free replacement for
     the setup kNN (TPU only; guard call sites with ``use_thr_knn``).
-    points [N,3], n_valid scalar -> thr [N,T] f32; see
+    points [N,3], n_valid scalar -> thr [T,N] f32 COMPONENT-MAJOR; see
     pallas_moments.neighborhood_thresholds_batched.  Unbatched calls
     run as a batch of one."""
     from se3_icp_tpu.ops import pallas_moments as pm
@@ -402,7 +402,7 @@ def _neighborhood_thresholds_packed_vmap_rule(axis_size, in_batched,
 @jax.custom_batching.custom_vmap
 def neighborhood_thresholds_q(points, queries, counts, n_valid):
     """``neighborhood_thresholds`` for a query ROW SLICE of ``points``
-    (model-parallel setup): queries [Nq,3] -> thr [Nq,T]."""
+    (model-parallel setup): queries [Nq,3] -> thr [T,Nq]."""
     from se3_icp_tpu.ops import pallas_moments as pm
     return pm.neighborhood_thresholds_batched(
         points[None], jnp.asarray(n_valid, jnp.int32)[None],

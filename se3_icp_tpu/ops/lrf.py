@@ -535,8 +535,8 @@ def _toldi_fused_batched(points, d2sorted, n_valid):
                              axis=2)[:, :, 0]
     thr_all = r2 * (1.0 + 1e-6) + jnp.asarray(1e-30, dtype)
     radius = jnp.sqrt(jnp.maximum(r2, 0.0))
-    return _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all,
-                                 radius, rz, n_valid)
+    return _rot_t9_to_rot(_toldi_fused_from_thr(
+        points, thr_cen, thr_cov, thr_all, radius, rz, n_valid))
 
 
 def _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all, radius,
@@ -547,42 +547,63 @@ def _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all, radius,
     divisor (quirk #2, ref:cpp:259-265).  ``queries`` [B,Nq,3]:
     optional query row slice of ``points`` (model-parallel setup);
     thresholds/radius are then per query row.  ``packed``: optional
-    shared operands (pallas_moments.pack_cloud_batched)."""
+    shared operands (pallas_moments.pack_cloud_batched).
+
+    COMPONENT-MAJOR throughout: the moments/axis kernels emit [B,C,Nq]
+    sums and all glue (covariance assembly, eigh, sign fix,
+    Gram-Schmidt) runs on per-component [B,Nq] arrays, keeping the
+    point axis on the TPU vector lanes (the [B,Nq,3] form wastes ~97%
+    of each 128-lane register; measured ~25 ms of setup fusions per
+    64-pair batch at 4608 points on v5e).  Returns the frames
+    TRANSPOSED: [B,9,Nq] with rows (x0,x1,x2, y0,y1,y2, z0,z1,z2) --
+    i.e. row j*3+i is component i of axis j, exactly the row-major
+    flattening of F^T that the 12-D embedding wants."""
     from se3_icp_tpu.ops import pallas_moments as pm
 
-    q = points if queries is None else queries
     dtype = points.dtype
-    bsz, nq, _ = q.shape
     divisor = jnp.asarray(rz, dtype)             # exact_centroid=False
 
     mom = pm.moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
                              queries=queries, packed=packed)
+    q_t = mom["q_t"]                                      # [B,3,Nq]
 
-    cen = mom["cen_sum"] / divisor                        # [B,Nq,3]
+    cen = mom["cen_sum"] / divisor                        # [B,3,Nq]
     s1 = mom["cov_sum"]
-    s2 = mom["cov_p9"].reshape(bsz, nq, 3, 3)
-    m = mom["cov_cnt"]
-    cov = (s2
-           - s1[:, :, :, None] * cen[:, :, None, :]
-           - cen[:, :, :, None] * s1[:, :, None, :]
-           + m[:, :, None, None] * cen[:, :, :, None]
-           * cen[:, :, None, :])
-    normal = eigh3.smallest_eigvec3(cov)                  # [B,Nq,3]
+    s2 = mom["cov_p9"]                                    # [B,9,Nq]
+    m = mom["cov_cnt"][:, None]                           # [B,1,Nq]
 
-    arrow = mom["all_sum"] - mom["all_cnt"][:, :, None] * q
-    ndotq = jnp.sum(normal * q, axis=-1)
-    w_p, w_sum = pm.axis_sums_batched(points, n_valid, normal, ndotq,
+    def covc(i, j):
+        return (s2[:, 3 * i + j] - s1[:, i] * cen[:, j]
+                - cen[:, i] * s1[:, j] + m[:, 0] * cen[:, i] * cen[:, j])
+    nx, ny, nz = eigh3.smallest_eigvec3_c(
+        covc(0, 0), covc(0, 1), covc(0, 2),
+        covc(1, 1), covc(1, 2), covc(2, 2))               # [B,Nq] each
+    normal_t = jnp.stack([nx, ny, nz], axis=1)            # [B,3,Nq]
+
+    arrow = mom["all_sum"] - mom["all_cnt"][:, None] * q_t
+    ndotq = nx * q_t[:, 0] + ny * q_t[:, 1] + nz * q_t[:, 2]
+    w_p, w_sum = pm.axis_sums_batched(points, n_valid, normal_t, ndotq,
                                       radius, thr_all, queries=queries,
                                       packed=packed)
-    scaled = w_p - w_sum[:, :, None] * q
+    scaled = w_p - w_sum[:, None] * q_t                   # [B,3,Nq]
 
-    flip = jnp.sum(normal * arrow, axis=-1) < 0.0
-    z = jnp.where(flip[:, :, None], -normal, normal)
-    x = scaled - jnp.sum(scaled * z, -1, keepdims=True) * z
-    xn = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    flip = jnp.sum(normal_t * arrow, axis=1) < 0.0        # [B,Nq]
+    z = jnp.where(flip[:, None], -normal_t, normal_t)
+    x = scaled - jnp.sum(scaled * z, 1, keepdims=True) * z
+    xn = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
     x = x / jnp.maximum(xn, jnp.asarray(1e-30, dtype))
-    y = jnp.cross(z, x)
-    return jnp.stack([x, y, z], axis=-1)
+    y = jnp.stack([z[:, 1] * x[:, 2] - z[:, 2] * x[:, 1],
+                   z[:, 2] * x[:, 0] - z[:, 0] * x[:, 2],
+                   z[:, 0] * x[:, 1] - z[:, 1] * x[:, 0]], axis=1)
+    return jnp.concatenate([x, y, z], axis=1)             # [B,9,Nq]
+
+
+def _rot_t9_to_rot(rot_t9):
+    """[B,9,Nq] transposed frames -> [B,Nq,3,3] row-major rotation
+    matrices with axis j in COLUMN j (one relayout, for the non-packed
+    engine routes and oracles)."""
+    bsz, _, nq = rot_t9.shape
+    return jnp.transpose(rot_t9.reshape(bsz, 3, 3, nq), (0, 3, 2, 1))
 
 
 @jax.custom_batching.custom_vmap
@@ -622,27 +643,33 @@ def _normals_fused_batched(points, thr, n_valid, k_use: int,
     """Batched gather-free PCA normals via the moments kernel (one
     threshold mask; self INCLUDED like normals_dense -- the kernel
     subtracts the self term, so it is added back here).  ``queries``:
-    optional query row slice (model-parallel setup)."""
+    optional query row slice (model-parallel setup).  Returns the
+    normals COMPONENT-MAJOR [B,3,Nq] (see _toldi_fused_from_thr)."""
     from se3_icp_tpu.ops import pallas_moments as pm
 
-    q = points if queries is None else queries
     dtype = points.dtype
-    bsz, nq, _ = q.shape
     mom = pm.moments_batched(points, n_valid, thr, thr, thr,
                              queries=queries, packed=packed)
-    p9self = (q[:, :, :, None]
-              * q[:, :, None, :]).reshape(bsz, nq, 9)
-    s1 = mom["cov_sum"] + q
-    s2 = (mom["cov_p9"] + p9self).reshape(bsz, nq, 3, 3)
-    m = mom["cov_cnt"] + 1.0
+    # component-major glue (see _toldi_fused_from_thr); the kernel
+    # subtracted the self term, add it back (self INCLUDED like
+    # normals_dense)
+    q_t = mom["q_t"]                                      # [B,3,Nq]
+    p9self = jnp.concatenate(
+        [q_t * q_t[:, i:i + 1] for i in range(3)], 1)     # [B,9,Nq]
+    s1 = mom["cov_sum"] + q_t
+    s2 = mom["cov_p9"] + p9self
+    m = (mom["cov_cnt"] + 1.0)
     kinv = jnp.asarray(1.0 / k_use, dtype)
     mean = s1 * kinv
-    cov = (s2
-           - s1[:, :, :, None] * mean[:, :, None, :]
-           - mean[:, :, :, None] * s1[:, :, None, :]
-           + m[:, :, None, None] * mean[:, :, :, None]
-           * mean[:, :, None, :])
-    return eigh3.smallest_eigvec3(cov * kinv)
+
+    def covc(i, j):
+        return (s2[:, 3 * i + j] - s1[:, i] * mean[:, j]
+                - mean[:, i] * s1[:, j] + m * mean[:, i] * mean[:, j]
+                ) * kinv
+    nx, ny, nz = eigh3.smallest_eigvec3_c(
+        covc(0, 0), covc(0, 1), covc(0, 2),
+        covc(1, 1), covc(1, 2), covc(2, 2))
+    return jnp.stack([nx, ny, nz], axis=1)                # [B,3,Nq]
 
 
 def _make_normals_cv(k_use: int):
@@ -662,7 +689,7 @@ def _make_normals_cv(k_use: int):
         out = _normals_fused_batched(
             bc(points, pb), thr, bc(jnp.asarray(n_valid, jnp.int32), nb),
             k_use)
-        return out, True
+        return jnp.swapaxes(out, 1, 2), True    # [B,3,Nq] -> row-major
     return _cv
 
 
@@ -749,16 +776,18 @@ _toldi_thr_q_cv_cache: dict = {}
 _toldi_thr_packed_cv_cache: dict = {}
 
 
-def toldi_frames_thr(points, thr_cen, thr_cov, thr_k, k: int, n_valid,
-                     queries=None, packed=None):
-    """TOLDI frames from neighborhood thresholds (TPU only).
+def toldi_frames_thr_t(points, thr_cen, thr_cov, thr_k, k: int, n_valid,
+                       queries=None, packed=None):
+    """TOLDI frames from neighborhood thresholds, TRANSPOSED (TPU
+    only): returns rot_t9 [9,Nq] with rows (x0,x1,x2,y0,y1,y2,z0,z1,z2)
+    -- the row-major flattening of F^T, which is directly the rotation
+    block of the 12-D embedding / affine-kernel feature rows.
 
     ``thr_cen``/``thr_cov``/``thr_k`` [Nq]: squared-distance thresholds
     for the self-inclusive counts rz, rz+1, k (rz = k//3); ``thr_k``
     doubles as radius^2 (it converges to the k-th neighbor distance
     from above).  ``queries`` [Nq,3]: optional query row slice of
-    ``points`` (model-parallel setup).  Returns (rot [Nq,3,3], origins)
-    like toldi_frames_dense."""
+    ``points`` (model-parallel setup)."""
     rz = k // 3
     nv = jnp.asarray(n_valid, jnp.int32)
     if queries is None:
@@ -766,19 +795,27 @@ def toldi_frames_thr(points, thr_cen, thr_cov, thr_k, k: int, n_valid,
             if rz not in _toldi_thr_packed_cv_cache:
                 _toldi_thr_packed_cv_cache[rz] = (
                     _make_toldi_thr_packed_cv(rz))
-            rot = _toldi_thr_packed_cv_cache[rz](
+            return _toldi_thr_packed_cv_cache[rz](
                 points, thr_cen, thr_cov, thr_k, nv, *packed)
-            return rot, points
         if rz not in _toldi_thr_cv_cache:
             _toldi_thr_cv_cache[rz] = _make_toldi_thr_cv(rz)
-        rot = _toldi_thr_cv_cache[rz](points, thr_cen, thr_cov, thr_k,
-                                      nv)
-        return rot, points
+        return _toldi_thr_cv_cache[rz](points, thr_cen, thr_cov, thr_k,
+                                       nv)
     if rz not in _toldi_thr_q_cv_cache:
         _toldi_thr_q_cv_cache[rz] = _make_toldi_thr_q_cv(rz)
-    rot = _toldi_thr_q_cv_cache[rz](points, queries, thr_cen, thr_cov,
-                                    thr_k, nv)
-    return rot, queries
+    return _toldi_thr_q_cv_cache[rz](points, queries, thr_cen, thr_cov,
+                                     thr_k, nv)
+
+
+def toldi_frames_thr(points, thr_cen, thr_cov, thr_k, k: int, n_valid,
+                     queries=None, packed=None):
+    """TOLDI frames from neighborhood thresholds (TPU only).  Row-major
+    adapter over ``toldi_frames_thr_t``: returns (rot [Nq,3,3],
+    origins) like toldi_frames_dense."""
+    rot_t9 = toldi_frames_thr_t(points, thr_cen, thr_cov, thr_k, k,
+                                n_valid, queries=queries, packed=packed)
+    rot = _rot_t9_to_rot(rot_t9[None])[0]
+    return rot, (points if queries is None else queries)
 
 
 def _make_normals_thr_cv(k_use: int):
@@ -806,13 +843,14 @@ _normals_thr_q_cv_cache: dict = {}
 _normals_thr_packed_cv_cache: dict = {}
 
 
-def normals_thr(points, thr, k_use: int, n_valid, queries=None,
-                packed=None):
-    """PCA normals from a neighborhood threshold (TPU only).  ``thr``
-    [Nq]: squared-distance threshold for the self-inclusive count
-    ``k_use`` (the mean still divides by k_use, like normals_dense).
-    ``queries`` [Nq,3]: optional query row slice of ``points``.
-    ``packed``: optional shared operands (knn.pack_setup_cloud)."""
+def normals_thr_t(points, thr, k_use: int, n_valid, queries=None,
+                  packed=None):
+    """PCA normals from a neighborhood threshold, TRANSPOSED [3,Nq]
+    (TPU only).  ``thr`` [Nq]: squared-distance threshold for the
+    self-inclusive count ``k_use`` (the mean still divides by k_use,
+    like normals_dense).  ``queries`` [Nq,3]: optional query row slice
+    of ``points``.  ``packed``: optional shared operands
+    (knn.pack_setup_cloud)."""
     nv = jnp.asarray(n_valid, jnp.int32)
     if queries is None:
         if packed is not None:
@@ -827,6 +865,13 @@ def normals_thr(points, thr, k_use: int, n_valid, queries=None,
     if k_use not in _normals_thr_q_cv_cache:
         _normals_thr_q_cv_cache[k_use] = _make_normals_thr_q_cv(k_use)
     return _normals_thr_q_cv_cache[k_use](points, queries, thr, nv)
+
+
+def normals_thr(points, thr, k_use: int, n_valid, queries=None,
+                packed=None):
+    """Row-major [Nq,3] adapter over ``normals_thr_t``."""
+    return normals_thr_t(points, thr, k_use, n_valid, queries=queries,
+                         packed=packed).T
 
 
 def gicp_covariances_thr(points, thr, k_use: int,

@@ -43,25 +43,29 @@ from se3_icp_tpu.ops.pallas_knn import (_POISON, _interpret,
 
 
 def _kernel_moments(q6_ref, t6_ref, tn_ref, thr_ref, r48_ref, out_ref):
+    """Everything is laid out TRANSPOSED ([feature, point]) so the
+    emitted sums land component-major [48, tile_q] -- the XLA glue that
+    consumes them (centroid/covariance/eigh) then runs with the large
+    point axis on the vector lanes instead of a 3-wide minor dim."""
     j = pl.program_id(2)
 
     prod = jax.lax.dot_general(
-        q6_ref[0], t6_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        t6_ref[0], q6_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT)
-    r = tn_ref[0] - 2.0 * prod                    # [tile_q, tile_t]
+    r = tn_ref[0, 0][:, None] - 2.0 * prod        # [tile_t, tile_q]
 
-    r48 = r48_ref[0]                              # [tile_t, 48] bf16
-    thr = thr_ref[0]                              # [tile_q, 4] f32
+    r48t = r48_ref[0]                             # [48, tile_t] bf16
+    thr = thr_ref[0]                              # [8, tile_q] f32
     outs = []
     for m in range(3):
-        mask = (r <= thr[:, m][:, None]).astype(jnp.bfloat16)
+        mask = (r <= thr[m, :][None, :]).astype(jnp.bfloat16)
         s = jax.lax.dot_general(
-            mask, r48, dimension_numbers=(((1,), (0,)), ((), ())),
+            r48t, mask, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)   # [tile_q, 48]
-        outs.append(s[:, :16] + s[:, 16:32] + s[:, 32:48])
-    got = jnp.concatenate(outs, axis=-1)          # [tile_q, 48]
+            precision=jax.lax.Precision.DEFAULT)  # [48, tile_q]
+        outs.append(s[:16] + s[16:32] + s[32:48])
+    got = jnp.concatenate(outs, axis=0)           # [48, tile_q]
 
     @pl.when(j == 0)
     def _init():
@@ -72,27 +76,32 @@ def _kernel_moments(q6_ref, t6_ref, tn_ref, thr_ref, r48_ref, out_ref):
         out_ref[0] = out_ref[0] + got
 
 
-def _kernel_axis(q6_ref, t6_ref, n6_ref, tn_ref, aux_ref, r16_ref,
+def _kernel_axis(q6_ref, t6_ref, n6t_ref, tn_ref, aux_ref, r16_ref,
                  out_ref):
+    """Transposed layout like _kernel_moments: working tiles are
+    [tile_t, tile_q], per-query vectors are [8, tile_q] rows, the
+    normal operand arrives feature-major [48, tile_q], and the weighted
+    sums land component-major [8, tile_q]."""
     j = pl.program_id(2)
 
     dn = (((1,), (1,)), ((), ()))
-    prod = jax.lax.dot_general(q6_ref[0], t6_ref[0], dn,
+    prod = jax.lax.dot_general(t6_ref[0], q6_ref[0], dn,
                                preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)
-    r = tn_ref[0] - 2.0 * prod
-    ndp = jax.lax.dot_general(n6_ref[0], t6_ref[0], dn,
+                               precision=jax.lax.Precision.DEFAULT)
+    r = tn_ref[0, 0][:, None] - 2.0 * prod        # [tile_t, tile_q]
+    ndp = jax.lax.dot_general(t6_ref[0], n6t_ref[0],
+                              (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)
+                              precision=jax.lax.Precision.DEFAULT)
 
-    aux = aux_ref[0]            # [tile_q, 4]: thr_all', qn, radius, n.q
-    mall = (r <= aux[:, 0][:, None]).astype(jnp.float32)
-    d = jnp.sqrt(jnp.maximum(r + aux[:, 1][:, None], 0.0))
-    w1 = (aux[:, 2][:, None] - d)
-    zdot = ndp - aux[:, 3][:, None]
+    aux = aux_ref[0]            # [8, tile_q]: thr_all', qn, radius, n.q
+    mall = (r <= aux[0, :][None, :]).astype(jnp.float32)
+    d = jnp.sqrt(jnp.maximum(r + aux[1, :][None, :], 0.0))
+    w1 = (aux[2, :][None, :] - d)
+    zdot = ndp - aux[3, :][None, :]
     # grouping matters: (mask * w1^2) zeroes poisoned columns BEFORE the
     # product with zdot^2 can overflow f32 (w1^2 * zdot^2 ~ 1e68 there)
-    w = ((mall * (w1 * w1)) * (zdot * zdot))      # [tile_q, tile_t]
+    w = ((mall * (w1 * w1)) * (zdot * zdot))      # [tile_t, tile_q]
 
     # limb split with plain converts: Mosaic compiles the converts
     # as written (lax.reduce_precision is not lowerable in-kernel, and
@@ -100,15 +109,15 @@ def _kernel_axis(q6_ref, t6_ref, n6_ref, tn_ref, aux_ref, r16_ref,
     wh = w.astype(jnp.bfloat16)
     wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    r16 = r16_ref[0]                              # [tile_t, 16] bf16
+    r16t = r16_ref[0]                             # [16, tile_t] bf16
     dnk = (((1,), (0,)), ((), ()))
-    s = (jax.lax.dot_general(wh, r16, dnk,
+    s = (jax.lax.dot_general(r16t, wh, dnk,
                              preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)
-         + jax.lax.dot_general(wl, r16, dnk,
+                             precision=jax.lax.Precision.DEFAULT)
+         + jax.lax.dot_general(r16t, wl, dnk,
                                preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT))
-    got = s[:, :8] + s[:, 8:16]                   # fold 2 limbs -> [_,8]
+                               precision=jax.lax.Precision.DEFAULT))
+    got = s[:8] + s[8:16]                         # fold 2 limbs -> [8,_]
 
     @pl.when(j == 0)
     def _init():
@@ -120,7 +129,9 @@ def _kernel_axis(q6_ref, t6_ref, n6_ref, tn_ref, aux_ref, r16_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_t"))
-def _moments_padded(q6, t6, tn, thr, r48, tile_q: int, tile_t: int):
+def _moments_padded(q6, t6, tn, thr, r48t, tile_q: int, tile_t: int):
+    """thr [B,8,Nqp] (rows 0-2 used), r48t [B,48,Ntp]; out [B,48,Nqp]
+    component-major."""
     bsz, nqp, _ = q6.shape
     ntp = t6.shape[1]
     grid = (bsz, nqp // tile_q, ntp // tile_t)
@@ -134,21 +145,23 @@ def _moments_padded(q6, t6, tn, thr, r48, tile_q: int, tile_t: int):
             pl.BlockSpec((1, tile_t, t6.shape[2]),
                          lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 1, tile_t), lambda b, i, j: (b, 0, j)),
-            pl.BlockSpec((1, tile_q, 4), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, tile_t, 48), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 8, tile_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 48, tile_t), lambda b, i, j: (b, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, tile_q, 48),
-                               lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, nqp, 48), jnp.float32),
+        out_specs=pl.BlockSpec((1, 48, tile_q),
+                               lambda b, i, j: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((bsz, 48, nqp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * nqp * ntp * (q6.shape[2] + 3 * 48),
             bytes_accessed=4 * bsz * nqp * ntp // 64,
             transcendentals=0),
-    )(q6, t6, tn, thr, r48)
+    )(q6, t6, tn, thr, r48t)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_t"))
-def _axis_padded(q6, t6, n6, tn, aux, r16, tile_q: int, tile_t: int):
+def _axis_padded(q6, t6, n6t, tn, aux, r16t, tile_q: int, tile_t: int):
+    """n6t [B,48,Nqp] feature-major normal limbs, aux [B,8,Nqp],
+    r16t [B,16,Ntp]; out [B,8,Nqp] component-major."""
     bsz, nqp, _ = q6.shape
     ntp = t6.shape[1]
     grid = (bsz, nqp // tile_q, ntp // tile_t)
@@ -161,20 +174,19 @@ def _axis_padded(q6, t6, n6, tn, aux, r16, tile_q: int, tile_t: int):
                          lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, tile_t, t6.shape[2]),
                          lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, tile_q, n6.shape[2]),
-                         lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 48, tile_q), lambda b, i, j: (b, 0, i)),
             pl.BlockSpec((1, 1, tile_t), lambda b, i, j: (b, 0, j)),
-            pl.BlockSpec((1, tile_q, 4), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, tile_t, 16), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 8, tile_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 16, tile_t), lambda b, i, j: (b, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, tile_q, 8),
-                               lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, nqp, 8), jnp.float32),
+        out_specs=pl.BlockSpec((1, 8, tile_q),
+                               lambda b, i, j: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((bsz, 8, nqp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * nqp * ntp * (q6.shape[2] + 2 * 16),
             bytes_accessed=4 * bsz * nqp * ntp // 64,
             transcendentals=bsz * nqp * ntp),
-    )(q6, t6, n6, tn, aux, r16)
+    )(q6, t6, n6t, tn, aux, r16t)
 
 
 def _poison_pack(points, n_valid, tile_t):
@@ -198,15 +210,18 @@ def _tile_q_for(tile_t: int, budget: int) -> int:
     return tile_q
 
 
-def _axis_feature_block(pp):
-    """[B,Ntp,3] poisoned positions -> bf16 [B,Ntp,16] 2-limb
-    [p(3) | 1 | 0(4)] block for the axis kernel."""
-    ones = jnp.ones(pp.shape[:2] + (1,), jnp.float32)
-    feat = jnp.concatenate([pp, ones, jnp.zeros(pp.shape[:2] + (4,),
-                                                jnp.float32)], -1)
+def _axis_feature_block_t(ppt):
+    """[B,3,Ntp] poisoned positions (component-major) -> bf16
+    [B,16,Ntp] 2-limb [p(3) | 1 | 0(4)] block for the axis kernel.
+    Built feature-major so every elementwise pass keeps the point axis
+    on the vector lanes."""
+    bsz, _, ntp = ppt.shape
+    ones = jnp.ones((bsz, 1, ntp), jnp.float32)
+    feat = jnp.concatenate([ppt, ones, jnp.zeros((bsz, 4, ntp),
+                                                 jnp.float32)], 1)
     fh_f = jax.lax.reduce_precision(feat, 8, 7)
     fl = (feat - fh_f).astype(jnp.bfloat16)
-    return jnp.concatenate([fh_f.astype(jnp.bfloat16), fl], -1)
+    return jnp.concatenate([fh_f.astype(jnp.bfloat16), fl], 1)
 
 
 def pack_cloud_batched(points, n_valid):
@@ -228,14 +243,15 @@ def pack_cloud_batched(points, n_valid):
       t6  [B,Ntp,6dp] bf16 target limbs
       tn  [B,1,Ntp]  f32 target norms
       qn  [B,Nqp]    f32 query norms
-      r48 [B,Ntp,48] bf16 moments feature block
-      r16 [B,Ntp,16] bf16 axis feature block
+      r48t [B,48,Ntp] bf16 moments feature block (feature-major)
+      r16t [B,16,Ntp] bf16 axis feature block (feature-major)
     """
     bsz, n, _ = points.shape
     steps = -(-n // 4608)
     tile_t = -(-(-(-n // steps)) // 512) * 512
     ntp = steps * tile_t
     pp = _poison_pack(points, n_valid, ntp)
+    ppt = jnp.swapaxes(pp, 1, 2)                  # [B,3,Ntp], once
     nqp = -(-n // 256) * 256
     qp = jnp.pad(points.astype(jnp.float32),
                  ((0, 0), (0, nqp - n), (0, 0)))
@@ -244,8 +260,8 @@ def pack_cloud_batched(points, n_valid):
     q6, t6 = _pack_nn_operands(qpp, tpp)
     tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
     qn = jnp.sum(qp * qp, axis=-1)
-    return (pp, q6, t6, tn, qn, _pack_feature_block(pp),
-            _axis_feature_block(pp))
+    return (pp, q6, t6, tn, qn, _pack_feature_block_t(ppt),
+            _axis_feature_block_t(ppt))
 
 
 def _packed_tile_t(packed) -> int:
@@ -254,20 +270,21 @@ def _packed_tile_t(packed) -> int:
     return ntp // steps
 
 
-def _pack_feature_block(pp):
-    """[B,Ntp,3] poisoned positions -> bf16 [B,Ntp,48]:
-    [p(3) | p p^T (9) | 1 | 0(3)] x 3 exact limbs.
+def _pack_feature_block_t(ppt):
+    """[B,3,Ntp] poisoned positions (component-major) -> bf16
+    [B,48,Ntp]: [p(3) | p p^T (9) | 1 | 0(3)] x 3 exact limbs,
+    feature-major (wide elementwise builds, see _axis_feature_block_t).
 
     The poisoned rows' P9 would overflow f32 (1e17^2=1e34 is fine;
     the outer products stay finite) — but they are never selected by
     any mask, so garbage there is harmless."""
-    bsz, ntp, _ = pp.shape
-    p9 = (pp[:, :, :, None] * pp[:, :, None, :]).reshape(bsz, ntp, 9)
-    ones = jnp.ones((bsz, ntp, 1), jnp.float32)
-    zeros = jnp.zeros((bsz, ntp, 3), jnp.float32)
-    feat = jnp.concatenate([pp, p9, ones, zeros], axis=-1)  # [B,Ntp,16]
+    bsz, _, ntp = ppt.shape
+    p9 = jnp.concatenate([ppt * ppt[:, i:i + 1] for i in range(3)], 1)
+    ones = jnp.ones((bsz, 1, ntp), jnp.float32)
+    zeros = jnp.zeros((bsz, 3, ntp), jnp.float32)
+    feat = jnp.concatenate([ppt, p9, ones, zeros], axis=1)  # [B,16,Ntp]
     fh, fm, fl = _split3_limbs(feat)
-    return jnp.concatenate([fh, fm, fl], axis=-1)           # [B,Ntp,48]
+    return jnp.concatenate([fh, fm, fl], axis=1)            # [B,48,Ntp]
 
 
 def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
@@ -282,15 +299,17 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
     threshold and subtracted exactly).  ``packed``: optional shared
     operands from ``pack_cloud_batched`` (full-cloud queries only).
 
-    Returns a dict of per-query sums with the SELF term already
-    removed: cen_sum/cen_cnt, cov_sum/cov_p9/cov_cnt,
-    all_sum/all_cnt.
+    Returns a dict of COMPONENT-MAJOR per-query sums with the SELF term
+    already removed: cen_sum/cov_sum/all_sum [B,3,Nq], cov_p9 [B,9,Nq],
+    cen_cnt/cov_cnt/all_cnt [B,Nq], plus q_t [B,3,Nq] (the query
+    positions transposed -- computed here once so downstream glue can
+    reuse them without another relayout).
     """
     q_pts = points if queries is None else queries
     bsz, n, _ = points.shape
     nq = q_pts.shape[1]
     if packed is not None and queries is None:
-        pp, q6, t6, tn, qn, r48, _ = packed
+        pp, q6, t6, tn, qn, r48t, _ = packed
         tile_t = _packed_tile_t(packed)
         tile_q = _tile_q_for(tile_t, 5 * 1024 * 1024)
         pad_q = qn.shape[1] - nq
@@ -306,31 +325,34 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
         q6, t6 = _pack_nn_operands(qpp, tpp)
         tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
         qn = jnp.sum(qp * qp, axis=-1)                      # [B, Nqp']
-        r48 = _pack_feature_block(pp)
+        r48t = _pack_feature_block_t(jnp.swapaxes(pp, 1, 2))
 
     def padq(x):
         return jnp.pad(x, ((0, 0), (0, pad_q)))
     thr = jnp.stack([padq(thr_cen) - qn, padq(thr_cov) - qn,
-                     padq(thr_all) - qn,
-                     jnp.zeros_like(qn)], axis=-1)          # [B,Nqp,4]
+                     padq(thr_all) - qn] + [jnp.zeros_like(qn)] * 5,
+                    axis=1)                                 # [B,8,Nqp]
 
-    out = _moments_padded(q6, t6, tn, thr, r48, tile_q, tile_t)
-    out = out[:, :nq]                                       # [B,Nq,48]
+    out = _moments_padded(q6, t6, tn, thr, r48t, tile_q, tile_t)
+    out = out[:, :, :nq]                                    # [B,48,Nq]
 
     def block(m):
-        s = out[:, :, 16 * m:16 * m + 16]
-        return s[:, :, :3], s[:, :, 3:12], s[:, :, 12]
+        s = out[:, 16 * m:16 * m + 16]
+        return s[:, :3], s[:, 3:12], s[:, 12]
     cen_p, _, cen_c = block(0)
     cov_p, cov_p9, cov_c = block(1)
     all_p, _, all_c = block(2)
-    # subtract the self term (always inside every threshold: d2 = 0)
-    p9self = (q_pts[:, :, :, None]
-              * q_pts[:, :, None, :]).reshape(bsz, nq, 9)
+    # subtract the self term (always inside every threshold: d2 = 0);
+    # one narrow relayout of the query positions, reused downstream
+    q_t = jnp.swapaxes(q_pts, 1, 2)                         # [B,3,Nq]
+    p9self = jnp.concatenate(
+        [q_t * q_t[:, i:i + 1] for i in range(3)], 1)       # [B,9,Nq]
     return dict(
-        cen_sum=cen_p - q_pts, cen_cnt=cen_c - 1.0,
-        cov_sum=cov_p - q_pts, cov_p9=cov_p9 - p9self,
+        cen_sum=cen_p - q_t, cen_cnt=cen_c - 1.0,
+        cov_sum=cov_p - q_t, cov_p9=cov_p9 - p9self,
         cov_cnt=cov_c - 1.0,
-        all_sum=all_p - q_pts, all_cnt=all_c - 1.0,
+        all_sum=all_p - q_t, all_cnt=all_c - 1.0,
+        q_t=q_t,
     )
 
 
@@ -468,8 +490,9 @@ def neighborhood_thresholds_batched(points, n_valid, counts,
     SLICE of ``points`` otherwise -- the bracket upper bound assumes
     queries lie inside the cloud's radius).
 
-    Returns thr [B,Nq,T] f32 absolute squared-distance thresholds with
-    |{j valid : d2_ij <= thr[b,i,t]}| ~= min(counts[b,t], n_valid[b]);
+    Returns thr [B,T,Nq] f32 absolute squared-distance thresholds
+    (COMPONENT-MAJOR: one [Nq]-wide row per requested count) with
+    |{j valid : d2_ij <= thr[b,t,i]}| ~= min(counts[b,t], n_valid[b]);
     thr converges to the count-th nearest candidate distance from
     above, so thr of count k also serves as the TOLDI radius^2
     (distance to the k-th neighbor, ref:cpp:256).
@@ -505,28 +528,29 @@ def neighborhood_thresholds_batched(points, n_valid, counts,
     cc = jnp.pad(cc, ((0, 0), (0, _T_PAD - t_n)),
                  constant_values=1).astype(jnp.float32)
     out = _thresholds_padded(cc, hib, q6, t6, tn, qn, tile_q, t_n)
-    # kernel emits [B, T, Nqp] ABSOLUTE thresholds (transposed for the
-    # sublane-reduce bisection; un-shifted in-kernel); the [B,Nq,T]
-    # consumer layout is a tiny XLA transpose
-    return jnp.swapaxes(out[:, :t_n, :nq], 1, 2)
+    # the kernel's native [B, T, Nqp] layout (transposed for the
+    # sublane-reduce bisection; un-shifted in-kernel) IS the consumer
+    # layout: every downstream user wants [Nq]-wide threshold rows
+    return out[:, :t_n, :nq]
 
 
-def axis_sums_batched(points, n_valid, normal, ndotq, radius, thr_all,
+def axis_sums_batched(points, n_valid, normal_t, ndotq, radius, thr_all,
                       queries=None, packed=None):
-    """Batched TOLDI x-axis weighted sums.
+    """Batched TOLDI x-axis weighted sums (component-major).
 
     W_ij = M_all(i,j) * (radius_i - d_ij)^2 * (n_i . (p_j - q_i))^2
-    (self term vanishes: zdot_ii = 0).  ``normal``/``ndotq``/``radius``/
-    ``thr_all`` are per QUERY; ``queries`` [B,Nq,3] optionally restricts
-    the query rows (default: the full cloud).  ``packed``: optional
-    shared operands from ``pack_cloud_batched`` (full-cloud queries
-    only).  Returns (W @ p [B,Nq,3], sum_j W [B,Nq]).
+    (self term vanishes: zdot_ii = 0).  ``normal_t`` [B,3,Nq]
+    COMPONENT-MAJOR unit normals; ``ndotq``/``radius``/``thr_all``
+    [B,Nq] per query; ``queries`` [B,Nq,3] optionally restricts the
+    query rows (default: the full cloud).  ``packed``: optional shared
+    operands from ``pack_cloud_batched`` (full-cloud queries only).
+    Returns (W @ p [B,3,Nq] component-major, sum_j W [B,Nq]).
     """
     q_pts = points if queries is None else queries
     bsz, n, _ = points.shape
     nq = q_pts.shape[1]
     if packed is not None and queries is None:
-        _, q6, t6, tn, qn, _, r16 = packed
+        _, q6, t6, tn, qn, _, r16t = packed
         tile_t = _packed_tile_t(packed)
         # tighter budget than the moments kernel: the axis body keeps
         # ~4 live [tile_q, tile_t] f32 tiles (r, ndp, w, limb temps)
@@ -543,17 +567,21 @@ def axis_sums_batched(points, n_valid, normal, ndotq, radius, thr_all,
         q6, t6 = _pack_nn_operands(qpp, tpp)
         tn = jnp.sum(tpp * tpp, axis=-1)[:, None, :]
         qn = jnp.sum(qp * qp, axis=-1)
-        r16 = _axis_feature_block(pp)
+        r16t = _axis_feature_block_t(jnp.swapaxes(pp, 1, 2))
 
-    npad = jnp.pad(normal.astype(jnp.float32),
-                   ((0, 0), (0, pad_q), (0, 5)))
-    n6, _ = _pack_nn_operands(npad, npad)
+    # feature-major normal limbs [B,48,Nqp]: pad components to 8 rows,
+    # 3-limb split (elementwise, wide), 6-product concat along features
+    npadt = jnp.pad(normal_t.astype(jnp.float32),
+                    ((0, 0), (0, 5), (0, pad_q)))
+    nh, nm, nl = _split3_limbs(npadt)
+    n6t = jnp.concatenate([nh, nh, nm, nh, nl, nm], axis=1)
 
     def padq(x):
         return jnp.pad(x, ((0, 0), (0, pad_q)))
     aux = jnp.stack([padq(thr_all) - qn, qn, padq(radius),
-                     padq(ndotq)], axis=-1)                 # [B,Nqp,4]
+                     padq(ndotq)] + [jnp.zeros_like(qn)] * 4,
+                    axis=1)                                 # [B,8,Nqp]
 
-    out = _axis_padded(q6, t6, n6, tn, aux, r16, tile_q, tile_t)
-    out = out[:, :nq]
-    return out[:, :, :3], out[:, :, 3]
+    out = _axis_padded(q6, t6, n6t, tn, aux, r16t, tile_q, tile_t)
+    out = out[:, :, :nq]
+    return out[:, :3], out[:, 3]

@@ -87,7 +87,7 @@ def test_neighborhood_thresholds_counts(rng):
                 jnp.asarray(counts)))
         d2 = _exact_d2(pts[0][:n_valid].astype(np.float64))
         for t, c in enumerate(counts[0]):
-            got = (d2 <= thr[0, :n_valid, t][:, None]).sum(1)
+            got = (d2 <= thr[0, t, :n_valid][:, None]).sum(1)
             assert got.min() >= c - 2, (n, c, got.min())
             assert got.max() <= c + slack_hi + 2, (n, c, got.max())
 
@@ -104,7 +104,7 @@ def test_neighborhood_thresholds_clamp_to_valid(rng):
             jnp.asarray(pts), jnp.asarray([n_valid], jnp.int32),
             jnp.asarray([[90]], jnp.int32)))
     d2 = _exact_d2(pts[0][:n_valid].astype(np.float64))
-    got = (d2 <= thr[0, :n_valid, 0][:, None] * (1 + 1e-6)).sum(1)
+    got = (d2 <= thr[0, 0, :n_valid][:, None] * (1 + 1e-6)).sum(1)
     assert got.min() >= n_valid - 1, got.min()
 
 
@@ -173,20 +173,20 @@ def test_threshold_query_slice_matches_full(rng):
         thr_full = np.asarray(knn.neighborhood_thresholds(pj, counts, nv))
         thr_slice = np.asarray(knn.neighborhood_thresholds_q(
             pj, pj[lo:hi], counts, nv))
-    np.testing.assert_allclose(thr_slice, thr_full[lo:hi], rtol=1e-6)
+    np.testing.assert_allclose(thr_slice, thr_full[:, lo:hi], rtol=1e-6)
 
     with pltpu.force_tpu_interpret_mode():
         rot_full, _ = lrf.toldi_frames_thr(
-            pj, jnp.asarray(thr_full[:, 0]), jnp.asarray(thr_full[:, 1]),
-            jnp.asarray(thr_full[:, 2]), k, nv)
+            pj, jnp.asarray(thr_full[0]), jnp.asarray(thr_full[1]),
+            jnp.asarray(thr_full[2]), k, nv)
         rot_slice, _ = lrf.toldi_frames_thr(
-            pj, jnp.asarray(thr_full[lo:hi, 0]),
-            jnp.asarray(thr_full[lo:hi, 1]),
-            jnp.asarray(thr_full[lo:hi, 2]), k, nv,
+            pj, jnp.asarray(thr_full[0, lo:hi]),
+            jnp.asarray(thr_full[1, lo:hi]),
+            jnp.asarray(thr_full[2, lo:hi]), k, nv,
             queries=pj[lo:hi])
-        nrm_full = lrf.normals_thr(pj, jnp.asarray(thr_full[:, 0]), 30,
+        nrm_full = lrf.normals_thr(pj, jnp.asarray(thr_full[0]), 30,
                                    nv)
-        nrm_slice = lrf.normals_thr(pj, jnp.asarray(thr_full[lo:hi, 0]),
+        nrm_slice = lrf.normals_thr(pj, jnp.asarray(thr_full[0, lo:hi]),
                                     30, nv, queries=pj[lo:hi])
     np.testing.assert_allclose(np.asarray(rot_slice),
                                np.asarray(rot_full)[lo:hi], atol=1e-5)

@@ -29,7 +29,7 @@ def test_neighborhood_thresholds_counts_on_tpu():
         nv = int(n_valid[b])
         d2 = _exact_d2(pts[b][:nv].astype(np.float64))
         for t, c in enumerate(counts[b]):
-            got = (d2 <= thr[b, :nv, t][:, None] * (1 + 1e-6)).sum(1)
+            got = (d2 <= thr[b, t, :nv][:, None] * (1 + 1e-6)).sum(1)
             c_eff = min(int(c), nv)
             # candidate-fold collisions only ever ENLARGE the ball;
             # boundary f32 rounding can lose a couple of members
@@ -67,7 +67,7 @@ def test_moments_kernel_vs_oracle_on_tpu():
             np.fill_diagonal(mask, False)            # self removed
             ref_sum = mask.astype(np.float64) @ p64
             ref_cnt = mask.sum(1)
-            got_sum = out[f"{name}_sum"][b]
+            got_sum = out[f"{name}_sum"][b].T        # [3,Nq] -> [Nq,3]
             got_cnt = out[f"{name}_cnt"][b]
             # boundary flips perturb O(1) members of ~30; compare
             # counts within slack and sums loosely row-wise
@@ -140,9 +140,9 @@ def test_toldi_thr_cross_cloud_consistency_on_tpu():
 
     def thr_frames(p):
         pj = jnp.asarray(p)
-        thr = knn.neighborhood_thresholds(pj, counts, nv)
-        rot, _ = lrf.toldi_frames_thr(pj, thr[:, 0], thr[:, 1],
-                                      thr[:, 2], k, nv)
+        thr = knn.neighborhood_thresholds(pj, counts, nv)   # [T,N]
+        rot, _ = lrf.toldi_frames_thr(pj, thr[0], thr[1],
+                                      thr[2], k, nv)
         return np.asarray(jax.device_get(rot))
 
     rot_a = thr_frames(pts)
