@@ -263,12 +263,11 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
             [cfg.gicp_normals_knn] if need_cov else [])
 
         def _uniq(lst):
-            pos, uniq = {}, []
-            for c in lst:
-                if c not in pos:
-                    pos[c] = len(uniq)
-                    uniq.append(c)
-            return uniq, pos
+            # DESCENDING order engages the thresholds kernel's chained
+            # brackets (each smaller count bisects inside the previous
+            # threshold at fewer steps -- pallas_moments._kernel_thresholds)
+            uniq = sorted(set(lst), reverse=True)
+            return uniq, {c: i for i, c in enumerate(uniq)}
 
         cu_src, cpos_src = _uniq(counts_src)
         cu_tgt, cpos_tgt = _uniq(counts_tgt)
@@ -326,6 +325,7 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     # [Nq,3,3]) are materialized only where a consumer needs them.
     rot_t9_s = rot_t9_t = None
     rot_s0 = rot_t0 = None
+    tgt_normals_fused_t = None
     if is_se3:
         alpha = f_alpha
         beta = f_beta
@@ -338,11 +338,26 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                     thr_src[cpos_src[rz_lrf + 1]],
                     thr_src[cpos_src[klrf]], klrf, n_src,
                     queries=q_src, packed=packed_src)
-                rot_t9_t = lrf.toldi_frames_thr_t(
-                    tgt_c, thr_tgt[cpos_tgt[rz_lrf]],
-                    thr_tgt[cpos_tgt[rz_lrf + 1]],
-                    thr_tgt[cpos_tgt[klrf]], klrf, n_tgt,
-                    queries=q_tgt, packed=packed_tgt)
+                if (eff_variant == "pt2pl"
+                        and cfg.normals_knn == rz_lrf
+                        and points_axis is None):
+                    # pt2pl target normals ride the SAME moments pass
+                    # as the TOLDI frames: mask 0 (count rz) is
+                    # exactly the normals_knn neighborhood when
+                    # normals_knn == k//3 (the benchmark configs)
+                    fr12 = lrf.toldi_frames_normals_thr_t(
+                        tgt_c, thr_tgt[cpos_tgt[rz_lrf]],
+                        thr_tgt[cpos_tgt[rz_lrf + 1]],
+                        thr_tgt[cpos_tgt[klrf]], klrf,
+                        cfg.normals_knn, n_tgt, packed=packed_tgt)
+                    rot_t9_t = fr12[:9]
+                    tgt_normals_fused_t = fr12[9:12]
+                else:
+                    rot_t9_t = lrf.toldi_frames_thr_t(
+                        tgt_c, thr_tgt[cpos_tgt[rz_lrf]],
+                        thr_tgt[cpos_tgt[rz_lrf + 1]],
+                        thr_tgt[cpos_tgt[klrf]], klrf, n_tgt,
+                        queries=q_tgt, packed=packed_tgt)
                 if points_axis is not None:
                     rot_t9_s = jax.lax.all_gather(
                         rot_t9_s, points_axis, axis=1, tiled=True)
@@ -437,13 +452,16 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     tgt_normals = cov_src0 = cov_tgt = None
     if eff_variant == "pt2pl":
         if use_thr:
-            tgt_normals_t = lrf.normals_thr_t(
-                tgt_c, thr_tgt[cpos_tgt[cfg.normals_knn]],
-                cfg.normals_knn, n_tgt, queries=q_tgt,
-                packed=packed_tgt)
-            if points_axis is not None:
-                tgt_normals_t = jax.lax.all_gather(
-                    tgt_normals_t, points_axis, axis=1, tiled=True)
+            if tgt_normals_fused_t is not None:
+                tgt_normals_t = tgt_normals_fused_t
+            else:
+                tgt_normals_t = lrf.normals_thr_t(
+                    tgt_c, thr_tgt[cpos_tgt[cfg.normals_knn]],
+                    cfg.normals_knn, n_tgt, queries=q_tgt,
+                    packed=packed_tgt)
+                if points_axis is not None:
+                    tgt_normals_t = jax.lax.all_gather(
+                        tgt_normals_t, points_axis, axis=1, tiled=True)
             tgt_normals = tgt_normals_t.T
         elif points_axis is None:
             tgt_normals = lrf.normals_dense_fused(tgt_c, d2_tgt,

@@ -540,7 +540,8 @@ def _toldi_fused_batched(points, d2sorted, n_valid):
 
 
 def _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all, radius,
-                          rz: int, n_valid, queries=None, packed=None):
+                          rz: int, n_valid, queries=None, packed=None,
+                          normals_k=None):
     """Batched fused TOLDI from explicit squared-distance thresholds
     (rank sets {self,1..rz-1} / {self,1..rz} / {self,1..k-1}) and the
     neighborhood radius.  ``rz = k // 3`` is the reference's centroid
@@ -557,7 +558,15 @@ def _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all, radius,
     64-pair batch at 4608 points on v5e).  Returns the frames
     TRANSPOSED: [B,9,Nq] with rows (x0,x1,x2, y0,y1,y2, z0,z1,z2) --
     i.e. row j*3+i is component i of axis j, exactly the row-major
-    flattening of F^T that the 12-D embedding wants."""
+    flattening of F^T that the 12-D embedding wants.
+
+    ``normals_k``: when the engine ALSO needs PCA normals for the
+    self-inclusive count rz (pt2pl with normals_knn == k//3, the
+    benchmark configuration), the mask-0 (centroid) sums this kernel
+    pass already accumulated ARE the normals' moments -- set
+    ``normals_k`` to the divisor (== the count) and three extra rows
+    (n0,n1,n2) are appended ([B,12,Nq]), eliding the separate
+    normals moments pass (~7 ms per 64-pair batch on v5e)."""
     from se3_icp_tpu.ops import pallas_moments as pm
 
     dtype = points.dtype
@@ -595,7 +604,29 @@ def _toldi_fused_from_thr(points, thr_cen, thr_cov, thr_all, radius,
     y = jnp.stack([z[:, 1] * x[:, 2] - z[:, 2] * x[:, 1],
                    z[:, 2] * x[:, 0] - z[:, 0] * x[:, 2],
                    z[:, 0] * x[:, 1] - z[:, 1] * x[:, 0]], axis=1)
-    return jnp.concatenate([x, y, z], axis=1)             # [B,9,Nq]
+    if normals_k is None:
+        return jnp.concatenate([x, y, z], axis=1)         # [B,9,Nq]
+
+    # PCA normal from the mask-0 sums: identical math (incl. self
+    # added back and the k_use divisor) to _normals_fused_batched at
+    # the same threshold -- see that function
+    p9self = jnp.concatenate(
+        [q_t * q_t[:, i:i + 1] for i in range(3)], 1)     # [B,9,Nq]
+    s1n = mom["cen_sum"] + q_t
+    s2n = mom["cen_p9"] + p9self
+    mn = mom["cen_cnt"] + 1.0
+    kinv = jnp.asarray(1.0 / normals_k, dtype)
+    meann = s1n * kinv
+
+    def ncov(i, j):
+        return (s2n[:, 3 * i + j] - s1n[:, i] * meann[:, j]
+                - meann[:, i] * s1n[:, j]
+                + mn * meann[:, i] * meann[:, j]) * kinv
+    nnx, nny, nnz = eigh3.smallest_eigvec3_c(
+        ncov(0, 0), ncov(0, 1), ncov(0, 2),
+        ncov(1, 1), ncov(1, 2), ncov(2, 2))
+    nrm = jnp.stack([nnx, nny, nnz], axis=1)              # [B,3,Nq]
+    return jnp.concatenate([x, y, z, nrm], axis=1)        # [B,12,Nq]
 
 
 def _rot_t9_to_rot(rot_t9):
@@ -771,9 +802,39 @@ def _make_toldi_thr_q_cv(rz: int):
     return _make_batched_cv(impl)
 
 
+def _make_toldi_thr_packed_nrm_cv(rz: int, normals_k: int):
+    def impl(points, thr_cen, thr_cov, thr_k, n_valid, *packed):
+        return _toldi_fused_from_thr(
+            points, thr_cen, thr_cov, thr_k,
+            jnp.sqrt(jnp.maximum(thr_k, 0.0)), rz, n_valid,
+            packed=packed if packed else None, normals_k=normals_k)
+    return _make_batched_cv(impl)
+
+
 _toldi_thr_cv_cache: dict = {}
 _toldi_thr_q_cv_cache: dict = {}
 _toldi_thr_packed_cv_cache: dict = {}
+_toldi_thr_packed_nrm_cv_cache: dict = {}
+
+
+def toldi_frames_normals_thr_t(points, thr_cen, thr_cov, thr_k, k: int,
+                               normals_k: int, n_valid, packed=None):
+    """``toldi_frames_thr_t`` that ALSO returns PCA normals for the
+    self-inclusive count rz = k//3 from the same moments pass
+    (requires ``normals_k == k // 3`` -- the benchmark configuration
+    normals_knn=30, LRF k=90/92).  Returns [12,Nq]: rows 0-8 the
+    transposed frames, rows 9-11 the normal components."""
+    rz = k // 3
+    assert normals_k == rz, (normals_k, rz)
+    nv = jnp.asarray(n_valid, jnp.int32)
+    key = (rz, normals_k)
+    if key not in _toldi_thr_packed_nrm_cv_cache:
+        _toldi_thr_packed_nrm_cv_cache[key] = (
+            _make_toldi_thr_packed_nrm_cv(rz, normals_k))
+    if packed is None:
+        packed = ()
+    return _toldi_thr_packed_nrm_cv_cache[key](
+        points, thr_cen, thr_cov, thr_k, nv, *packed)
 
 
 def toldi_frames_thr_t(points, thr_cen, thr_cov, thr_k, k: int, n_valid,

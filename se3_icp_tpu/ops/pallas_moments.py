@@ -339,7 +339,7 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
     def block(m):
         s = out[:, 16 * m:16 * m + 16]
         return s[:, :3], s[:, 3:12], s[:, 12]
-    cen_p, _, cen_c = block(0)
+    cen_p, cen_p9, cen_c = block(0)
     cov_p, cov_p9, cov_c = block(1)
     all_p, _, all_c = block(2)
     # subtract the self term (always inside every threshold: d2 = 0);
@@ -349,6 +349,7 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
         [q_t * q_t[:, i:i + 1] for i in range(3)], 1)       # [B,9,Nq]
     return dict(
         cen_sum=cen_p - q_t, cen_cnt=cen_c - 1.0,
+        cen_p9=cen_p9 - p9self,
         cov_sum=cov_p - q_t, cov_p9=cov_p9 - p9self,
         cov_cnt=cov_c - 1.0,
         all_sum=all_p - q_t, all_cnt=all_c - 1.0,
@@ -388,6 +389,7 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
 
 _CAND = 512          # candidate lanes (multiple of 128)
 _BISECT_STEPS = 24
+_BISECT_STEPS_CHAINED = 18   # after the first count (chained bracket)
 _T_PAD = 8           # threshold-count padding (lane alignment)
 
 
@@ -429,6 +431,7 @@ def _kernel_thresholds(t_real, counts_ref, hib_ref, q6_ref, t6_ref,
     hi0 = jnp.max(cand, axis=0, keepdims=True)
 
     rows = []
+    prev_hi = None
     for t in range(t_real):
         tgt = counts_ref[b, t]
 
@@ -440,7 +443,21 @@ def _kernel_thresholds(t_real, counts_ref, hib_ref, q6_ref, t6_ref,
             pred = cnt >= tgt
             return (jnp.where(pred, lo, mid), jnp.where(pred, mid, hi))
 
-        _, hi = jax.lax.fori_loop(0, _BISECT_STEPS, step, (lo0, hi0))
+        if t == 0:
+            hi_s, steps = hi0, _BISECT_STEPS
+        else:
+            # chained bracket: when counts arrive DESCENDING (the
+            # engine sorts them), the previous threshold is a valid,
+            # far tighter upper bracket -- count(thr_prev) >= tgt_prev
+            # >= tgt -- so fewer halvings reach the same absolute
+            # resolution (thr_prev * 2^-18 beats diameter * 2^-24).
+            # Non-descending callers fall back to the full bracket at
+            # the reduced step count (resolution diameter * 2^-18,
+            # still below inter-rank gaps at the tested cloud sizes).
+            hi_s = jnp.where(counts_ref[b, t - 1] >= tgt, prev_hi, hi0)
+            steps = _BISECT_STEPS_CHAINED
+        _, hi = jax.lax.fori_loop(0, steps, step, (lo0, hi_s))
+        prev_hi = hi
         rows.append(hi)
     rows.extend([jnp.zeros((1, tile_q), jnp.float32)]
                 * (_T_PAD - t_real))
