@@ -449,7 +449,7 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
         _off += width
 
     # --- variant-specific preparation (prefix slices of the shared kNN)
-    tgt_normals = cov_src0 = cov_tgt = None
+    tgt_normals = cov_src0_6 = cov_tgt_6 = None
     if eff_variant == "pt2pl":
         if use_thr:
             if tgt_normals_fused_t is not None:
@@ -471,25 +471,34 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                 tgt_c, idx_tgt[:, :cfg.normals_knn])
             tgt_normals = _gather_rows(tgt_normals, points_axis)
     elif eff_variant == "gicp":
+        # covariances travel COMPONENT-MAJOR [6,N] (symmetric rows
+        # xx,xy,xz,yy,yz,zz): the per-iteration whitening/Jacobian math
+        # in solve_gicp_T runs on wide component arrays instead of
+        # [N,3,3] tiles; row-major forms exist only for the XLA loop
+        def _sym_to_6(cov):
+            return jnp.stack([cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
+                              cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]])
         if use_thr:
-            cov_src0 = lrf.gicp_covariances_thr(
+            cov_src0_6 = lrf.gicp_covariances_thr_t(
                 src_c, thr_src[cpos_src[cfg.gicp_normals_knn]],
                 cfg.gicp_normals_knn, cfg.gicp_epsilon, n_src,
                 queries=q_src, packed=packed_src)
-            cov_tgt = lrf.gicp_covariances_thr(
+            cov_tgt_6 = lrf.gicp_covariances_thr_t(
                 tgt_c, thr_tgt[cpos_tgt[cfg.gicp_normals_knn]],
                 cfg.gicp_normals_knn, cfg.gicp_epsilon, n_tgt,
                 queries=q_tgt, packed=packed_tgt)
             if points_axis is not None:
-                cov_src0 = _gather_rows(cov_src0, points_axis)
-                cov_tgt = _gather_rows(cov_tgt, points_axis)
+                cov_src0_6 = jax.lax.all_gather(
+                    cov_src0_6, points_axis, axis=1, tiled=True)
+                cov_tgt_6 = jax.lax.all_gather(
+                    cov_tgt_6, points_axis, axis=1, tiled=True)
         elif points_axis is None:
-            cov_src0 = lrf.gicp_covariances_dense_fused(
+            cov_src0_6 = _sym_to_6(lrf.gicp_covariances_dense_fused(
                 src_c, d2_src, cfg.gicp_normals_knn, cfg.gicp_epsilon,
-                n_src)
-            cov_tgt = lrf.gicp_covariances_dense_fused(
+                n_src))
+            cov_tgt_6 = _sym_to_6(lrf.gicp_covariances_dense_fused(
                 tgt_c, d2_tgt, cfg.gicp_normals_knn, cfg.gicp_epsilon,
-                n_tgt)
+                n_tgt))
         else:
             cov_src0 = lrf.gicp_covariances_from_neighbors(
                 src_c, idx_src[:, :cfg.gicp_normals_knn],
@@ -497,15 +506,19 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
             cov_tgt = lrf.gicp_covariances_from_neighbors(
                 tgt_c, idx_tgt[:, :cfg.gicp_normals_knn],
                 cfg.gicp_epsilon)
-            cov_src0 = _gather_rows(cov_src0, points_axis)
-            cov_tgt = _gather_rows(cov_tgt, points_axis)
+            cov_src0_6 = _sym_to_6(_gather_rows(cov_src0, points_axis))
+            cov_tgt_6 = _sym_to_6(_gather_rows(cov_tgt, points_axis))
+        if not knn.use_fused_match():
+            # XLA loop consumes the row-major source covariances;
+            # materialize ONCE outside the loop
+            cov_src0 = lrf._cov6_to_mat(cov_src0_6)
 
     if is_se3:
         _pay_add("tr_beta", tgt_tr_beta, 3)
     if eff_variant == "pt2pl":
         _pay_add("normals", tgt_normals, 3)
     elif eff_variant == "gicp":
-        _pay_add("cov", cov_tgt.reshape(nt, 9), 9)
+        _pay_add("cov", cov_tgt_6.T, 6)
         if use_cf:
             _pay_add("conf_t", conf_tgt[:, None], 1)
     payload = jnp.concatenate(_pay_parts, axis=-1)       # [Nt, P]
@@ -756,25 +769,27 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                                 _pay_off["normals"] + 3]
                 T_i = solve.solve_pt2pl(src_moving, tgt_m, nrm_m, w)
         else:
-            if use_packed:
-                # the per-point 3x3 whitening math stays row-major;
-                # one relayout back from the transposed payload
-                src_moving = src_movingT.T
-                tgt_m = tgt_mT.T
-                cov_t_m = jnp.swapaxes(
-                    matched_T[_pay_off["cov"]:_pay_off["cov"] + 9],
-                    0, 1).reshape(ns, 3, 3)
-            else:
-                cov_t_m = matched[:, _pay_off["cov"]:
-                                  _pay_off["cov"] + 9].reshape(ns, 3, 3)
-            cov_s_cur = jnp.einsum("ij,njk,lk->nil", R, cov_src0, R)
             conf = None
             if use_cf:
                 conf_t_m = (matched_T[_pay_off["conf_t"]] if use_packed
                             else matched[:, _pay_off["conf_t"]])
                 conf = 0.5 * (conf_src + conf_t_m)
-            T_i = solve.solve_gicp(src_moving, tgt_m, cov_s_cur,
-                                   cov_t_m, w, conf)
+            if use_packed:
+                # fully component-major: whitening eigendecomposition,
+                # R C R^T, and the Jacobian reduction all run on [6,N]
+                # symmetric rows (solve_gicp_T) -- no [N,3,3] tiles in
+                # the loop body
+                cov_t_m6 = matched_T[_pay_off["cov"]:
+                                     _pay_off["cov"] + 6]
+                cov_s_cur6 = solve.rotate_sym3_T(R, cov_src0_6)
+                T_i = solve.solve_gicp_T(src_movingT, tgt_mT,
+                                         cov_s_cur6, cov_t_m6, w, conf)
+            else:
+                cov_t_m = lrf._cov6_to_mat(
+                    matched[:, _pay_off["cov"]:_pay_off["cov"] + 6].T)
+                cov_s_cur = jnp.einsum("ij,njk,lk->nil", R, cov_src0, R)
+                T_i = solve.solve_gicp(src_moving, tgt_m, cov_s_cur,
+                                       cov_t_m, w, conf)
 
         T_new = T_i @ T
 

@@ -146,12 +146,14 @@ def smallest_eigvec3(A):
 
 
 @jax.jit
-def smallest_eigvec3_c(a00, a01, a02, a11, a12, a22):
-    """``smallest_eigvec3`` on COMPONENT-MAJOR operands.
+def eigh3_c(a00, a01, a02, a11, a12, a22):
+    """``eigh3`` on COMPONENT-MAJOR operands.
 
     Each argument is one symmetric-matrix component of shape [...]
-    (typically [N] or [B, N]); returns the smallest-eigenvalue unit
-    eigenvector as three arrays (v0, v1, v2) of the same shape.
+    (typically [N] or [B, N]); returns ``(vals, vecs)`` where ``vals``
+    is a 3-tuple of eigenvalue arrays (ascending) and ``vecs`` a
+    3-tuple of eigenvector component 3-tuples ``vecs[k][i]`` (component
+    i of the k-th eigenvector), matching ``eigh3``'s column layout.
 
     Same Cardano + null-space/2x2-reduction scheme as ``eigh3``, but
     expressed on per-component arrays so every elementwise op runs with
@@ -159,6 +161,9 @@ def smallest_eigvec3_c(a00, a01, a02, a11, a12, a22):
     [..., 3, 3] layout of ``eigh3`` puts a 3-wide minor dim on the
     128-lane registers (~97% waste) -- measured ~10 ms of setup fusions
     per 64-pair batch at 4608 points on v5e for the LRF normals alone.
+    Consumers that use only part of the output (e.g. the smallest
+    eigenvector) rely on XLA dead-code elimination -- unused components
+    cost nothing.
     """
     dtype = a00.dtype
     eps = jnp.asarray(1e-7 if dtype == jnp.float32 else 1e-14, dtype)
@@ -262,9 +267,37 @@ def smallest_eigvec3_c(a00, a01, a02, a11, a12, a22):
     dy = jnp.where(good, dy * dinv, 0.0)
     v_other = (dx * U[0] + dy * V[0], dx * U[1] + dy * V[1],
                dx * U[2] + dy * V[2])
+    v_mid = _cross3(w, v_other)
 
-    out = _where3(first_is_low, w, v_other)
-    return out
+    v0 = _where3(first_is_low, w, v_other)
+    v2 = _where3(first_is_low, v_other, w)
+    vals = (e0 * scale, e1 * scale, e2 * scale)
+    return vals, (v0, v_mid, v2)
+
+
+@jax.jit
+def smallest_eigvec3_c(a00, a01, a02, a11, a12, a22):
+    """Unit eigenvector of the smallest eigenvalue, component-major:
+    returns (v0, v1, v2) arrays (see ``eigh3_c``)."""
+    _, vecs = eigh3_c(a00, a01, a02, a11, a12, a22)
+    return vecs[0]
+
+
+@jax.jit
+def inv_sqrt_sym3_c(a00, a01, a02, a11, a12, a22, eps_clamp=1e-12):
+    """``inv_sqrt_sym3`` on component-major operands: returns the six
+    components (w00, w01, w02, w11, w12, w22) of M^(-1/2) =
+    sum_k lam_k^(-1/2) v_k v_k^T."""
+    vals, vecs = eigh3_c(a00, a01, a02, a11, a12, a22)
+    dtype = a00.dtype
+    out = [jnp.zeros_like(a00) for _ in range(6)]
+    pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    for lam, v in zip(vals, vecs):
+        s = 1.0 / jnp.sqrt(jnp.maximum(lam, jnp.asarray(eps_clamp,
+                                                        dtype)))
+        for m, (i, j) in enumerate(pairs):
+            out[m] = out[m] + s * v[i] * v[j]
+    return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnames=("eps_clamp",))

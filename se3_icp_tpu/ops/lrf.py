@@ -935,12 +935,54 @@ def normals_thr(points, thr, k_use: int, n_valid, queries=None,
                          packed=packed).T
 
 
+def gicp_cov6_from_normals_t(normals_t, epsilon: float = 1e-3):
+    """Component-major GICP covariance init from unit normals [3,Nq].
+
+    Closed form of Rx diag(eps,1,1) Rx^T with Rx the Rodrigues rotation
+    taking e1 to n (ref:cpp:4-14, 33-52):
+        C = I - (1 - eps) n n^T
+    INCLUDING the reference's c < -0.99 -> identity-rotation quirk,
+    where C degenerates to diag(eps,1,1) regardless of n.  Returns
+    [6,Nq] rows (xx, xy, xz, yy, yz, zz) -- no per-point 3x3 matmuls.
+    """
+    dtype = normals_t.dtype
+    nx, ny, nz = normals_t[0], normals_t[1], normals_t[2]
+    f = jnp.asarray(1.0 - epsilon, dtype)
+    one = jnp.ones_like(nx)
+    comps = [one - f * nx * nx, -f * nx * ny, -f * nx * nz,
+             one - f * ny * ny, -f * ny * nz, one - f * nz * nz]
+    quirk = nx < -0.99
+    eps_a = jnp.full_like(nx, epsilon)
+    zeros = jnp.zeros_like(nx)
+    quirk_comps = [eps_a, zeros, zeros, one, zeros, one]
+    return jnp.stack([jnp.where(quirk, qc, c)
+                      for c, qc in zip(comps, quirk_comps)])
+
+
+def _cov6_to_mat(cov6):
+    """[6,Nq] symmetric components -> [Nq,3,3] (one relayout, for the
+    row-major engine routes and oracles)."""
+    rows = jnp.stack([
+        jnp.stack([cov6[0], cov6[1], cov6[2]]),
+        jnp.stack([cov6[1], cov6[3], cov6[4]]),
+        jnp.stack([cov6[2], cov6[4], cov6[5]])])          # [3,3,Nq]
+    return jnp.transpose(rows, (2, 0, 1))
+
+
+def gicp_covariances_thr_t(points, thr, k_use: int,
+                           epsilon: float = 1e-3, n_valid=None,
+                           queries=None, packed=None):
+    """Component-major GICP covariance init from a neighborhood
+    threshold (TPU only): [6,Nq] rows (xx, xy, xz, yy, yz, zz)."""
+    normals_t = normals_thr_t(points, thr, k_use, n_valid,
+                              queries=queries, packed=packed)
+    return gicp_cov6_from_normals_t(normals_t, epsilon)
+
+
 def gicp_covariances_thr(points, thr, k_use: int,
                          epsilon: float = 1e-3, n_valid=None,
                          queries=None, packed=None):
     """GICP covariance init from a neighborhood threshold (TPU only)."""
-    normals = normals_thr(points, thr, k_use, n_valid, queries=queries,
-                          packed=packed)
-    Rx = rotation_from_e1_to_x(normals)
-    C = jnp.diag(jnp.asarray([epsilon, 1.0, 1.0], points.dtype))
-    return Rx @ C @ Rx.mT
+    return _cov6_to_mat(gicp_covariances_thr_t(
+        points, thr, k_use, epsilon, n_valid, queries=queries,
+        packed=packed))

@@ -123,6 +123,68 @@ def solve_gicp(src, tgt, cov_src, cov_tgt, weights, conf=None):
     return _safe_transform(solve_normal_equations(JTJ, JTr), ok)
 
 
+def rotate_sym3_T(R, cov6):
+    """(R C R^T) on component-major symmetric operands.
+
+    ``cov6`` [6,N]: rows (xx, xy, xz, yy, yz, zz); ``R`` [3,3].
+    Returns the rotated components in the same layout -- the per-point
+    [N,3,3] einsum this replaces runs with a 3-wide minor dim (per-
+    iteration cost in the GICP loop)."""
+    idx = {(0, 0): 0, (0, 1): 1, (1, 0): 1, (0, 2): 2, (2, 0): 2,
+           (1, 1): 3, (1, 2): 4, (2, 1): 4, (2, 2): 5}
+    out = []
+    for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+        acc = None
+        for k in range(3):
+            for l in range(3):
+                term = (R[i, k] * R[j, l]) * cov6[idx[(k, l)]]
+                acc = term if acc is None else acc + term
+        out.append(acc)
+    return jnp.stack(out)
+
+
+def solve_gicp_T(srcT, tgtT, cov_src6, cov_tgt6, weights, conf=None):
+    """``solve_gicp`` on feature-major operands (see solve_pt2pl_T).
+
+    srcT/tgtT [3,N]; cov_src6/cov_tgt6 [6,N] symmetric components
+    (xx, xy, xz, yy, yz, zz).  The whitening eigendecomposition and all
+    per-point 3x3 algebra run component-wise (wide vector lanes)
+    instead of on [N,3,3] tiles; same math as solve_gicp.
+    """
+    dtype = srcT.dtype
+    w = weights.astype(dtype)
+    M = cov_src6 + cov_tgt6
+    W6 = eigh3.inv_sqrt_sym3_c(M[0], M[1], M[2], M[3], M[4], M[5])
+    if conf is not None:
+        c = conf.astype(dtype)
+        W6 = tuple(x * c for x in W6)
+    W = ((W6[0], W6[1], W6[2]),
+         (W6[1], W6[3], W6[4]),
+         (W6[2], W6[4], W6[5]))
+    s = (srcT[0], srcT[1], srcT[2])
+    d = (srcT[0] - tgtT[0], srcT[1] - tgtT[1], srcT[2] - tgtT[2])
+
+    def wdot(row, v):
+        return row[0] * v[0] + row[1] * v[1] + row[2] * v[2]
+
+    # r = W (s - t); J = W @ [-skew(s) | I]:
+    # (-skew(s)) columns: c0 = (0, -s2, s1), c1 = (s2, 0, -s0),
+    #                     c2 = (-s1, s0, 0)
+    zero = jnp.zeros_like(s[0])
+    cols = (((zero, -s[2], s[1]), (s[2], zero, -s[0]),
+             (-s[1], s[0], zero)))
+    r = [wdot(W[i], d) for i in range(3)]                 # 3 x [N]
+    J = [[wdot(W[i], cols[a]) for a in range(3)]
+         + [W[i][0], W[i][1], W[i][2]] for i in range(3)]  # [3][6] of [N]
+    Jarr = jnp.stack([jnp.stack(Ji) for Ji in J])          # [3,6,N]
+    rarr = jnp.stack(r)                                    # [3,N]
+    Jw = Jarr * w[None, None, :]
+    JTJ = jnp.einsum("ian,ibn->ab", Jw, Jarr)
+    JTr = jnp.einsum("ian,in->a", Jw, rarr)
+    ok = jnp.sum(w) > 5.5
+    return _safe_transform(solve_normal_equations(JTJ, JTr), ok)
+
+
 def solve_pt2pl_T(srcT, tgtT, nT, weights):
     """``solve_pt2pl`` on feature-major [3,N] operands.
 
