@@ -26,12 +26,13 @@ image exposes a single CPU core (os.cpu_count() == 1), so the two rates
 coincide here; on a many-core host the parallel rate scales and the
 ratio tightens accordingly.
 
-BENCH_PHASES=1 adds a per-phase breakdown (setup vs iteration loop) to
-the JSON -- the analog of the reference's time_before_pure_icp_ /
-time_se3_correspondence_search_ counters (ref:cpp:754,866-878): the
+A per-phase breakdown (setup vs iteration loop) is recorded in the
+JSON by DEFAULT -- the analog of the reference's time_before_pure_icp_
+/ time_se3_correspondence_search_ counters (ref:cpp:754,866-878): the
 full serving path is re-timed with the iteration caps clamped to 1 and
 the slope/intercept give iter_ms / setup_ms with the fixed dispatch+
-fetch overhead cancelled (see ``phase_breakdown``).
+fetch overhead cancelled (see ``phase_breakdown``).  BENCH_NO_PHASES=1
+skips it; BENCH_PHASE_REPS tunes its rep count (default 5).
 
 Tunnel-down resilience: when an accelerator platform is configured but
 the device never materializes (the axon tunnel hangs jax.devices()
@@ -307,9 +308,16 @@ def main():
     if degraded:
         out["degraded"] = "tpu unreachable; CPU fallback measurement"
 
-    if os.environ.get("BENCH_PHASES"):
+    # Phase attribution is recorded by DEFAULT (VERDICT r3 item 2): the
+    # driver-visible JSON must carry the setup/loop split at the same
+    # configuration as the headline.  BENCH_NO_PHASES=1 skips it (the
+    # split re-times the serving path twice at depth 1).
+    if not os.environ.get("BENCH_NO_PHASES"):
+        phase_reps = min(reps, int(os.environ.get("BENCH_PHASE_REPS",
+                                                  "5")))
         p_full_ms, p_iters, p_pure, setup_ms, iter_ms = phase_breakdown(
-            rep_lists, "se3_pt2pl", GOLDEN, mesh, reps)
+            rep_lists[:phase_reps + 1], "se3_pt2pl", GOLDEN, mesh,
+            phase_reps)
         out["phases"] = {
             "batch": batch,
             # depth-1, gate-off re-timing (phase_breakdown's additive
@@ -363,12 +371,11 @@ def main():
             extra(f"{alg}_golden_pairs_per_s",
                   lambda alg=alg: timed_variant(sub_lists, alg, GOLDEN,
                                                 T_gt, mesh, sub_reps)[0])
-        # FGR holds several vmapped [B,N,N] buffers at once (kNN self
-        # distances + 33-D reciprocal feature matching); batch 64 of the
-        # 4608-padded golden clouds exhausts a 16 GB chip.  Run it at a
-        # capped batch -- pairs/s is batch-normalized either way.
+        # FGR's setup kNN now chunks queries with a batch-aware budget
+        # (knn._knn_topk_batched), so it runs at the full serving batch
+        # (VERDICT r3 item 6); BENCH_FGR_BATCH caps it if needed.
         fgr_batch = min(batch, int(os.environ.get("BENCH_FGR_BATCH",
-                                                  "16")))
+                                                  str(batch))))
         fgr_lists = ([pl[:fgr_batch] for pl in sub_lists]
                      if fgr_batch < batch else sub_lists)
         # throughput is not batch-linear; record the effective batch so
@@ -383,6 +390,12 @@ def main():
         extra("se3_pt2pl_trim075_pairs_per_s",
               lambda: timed_variant(sub_lists, "se3_pt2pl", trim_cfg,
                                     T_gt, mesh, sub_reps)[0])
+        # depth-4 pipelined serving (VERDICT r3 item 5): deeper queues
+        # amortize the tunnel's fixed per-fetch round trip; the depth-1
+        # headline stays the comparable serving number
+        extra("se3_pt2pl_golden_depth4_pairs_per_s",
+              lambda: timed_variant(rep_lists, "se3_pt2pl", GOLDEN,
+                                    T_gt, mesh, reps, depth=4)[0])
         if not degraded:
             # KITTI-scale: 15k-point partial-overlap clouds, overlap 0.7
             # (skipped on the CPU fallback: a 15k-point O(N^2) NN per

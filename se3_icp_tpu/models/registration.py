@@ -530,6 +530,13 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
     # model-parallel route packs the same (replicated) targets and runs
     # the kernel on its local query-row slice.
     use_packed = knn.use_fused_match()
+    # fused loop epilogue (trim + MSE + normal-equation reduction in one
+    # Pallas pass): follows the packed-match layout; the model-parallel
+    # route keeps the XLA epilogue (its trim is a global reduction over
+    # gathered rows)
+    from se3_icp_tpu.ops import pallas_loop
+    fuse_ep = (use_packed and points_axis is None
+               and pallas_loop.use_fused_epilogue())
     if use_packed:
         emb_a = tgt_embed_A if is_se3 else tgt_embed_B
         t6_pair, tn_pair, pay3 = knn.pack_match_targets(
@@ -709,87 +716,125 @@ def _register_arrays_impl(src, n_src, tgt, n_tgt, floats, cfg, mode,
                                           n_tgt)
                 midx = _gather_rows(midx_l, points_axis)
                 matched = payload[midx]
-        # --- stored distance (trim + mse source): R3 metric in both
-        #     phases (ref:cpp:411, 436, 465).  On the fused route every
-        #     per-point tensor stays feature-major ([3,N]/[6,N]) so the
-        #     small feature axis never sits on the vector lanes.
-        if use_packed:
-            tgt_mT = matched_T[:3]
-            src_movingT = R @ src_cT + tvec[:, None]
-            diffB = src_movingT - tgt_mT
-            d_B = jnp.sqrt(jnp.sum(diffB * diffB, axis=0))
-            if is_se3:
-                cur_traT = f_beta * (R @ src_cT) + tvec[:, None]
-                tr_beta_mT = matched_T[_pay_off["tr_beta"]:
-                                       _pay_off["tr_beta"] + 3]
-                diffA = cur_traT - tr_beta_mT
-                d_A = jnp.sqrt(jnp.sum(diffA * diffA, axis=0))
-                dist = jnp.where(switched, d_B, d_A)
+        if fuse_ep:
+            # --- fused loop epilogue (ops/pallas_loop.py): the trim
+            #     metric distances, sort-free trimmed rejection, MSE,
+            #     and the estimator's JtJ/Jtr (or Umeyama-moment)
+            #     reduction run in ONE Pallas pass over the matched
+            #     payload; only the 6x6 solve / 3x3 SVD stays in XLA.
+            #     The moving source is rebuilt in-kernel from the
+            #     loop-invariant src_cT and the (R, t) scalars.
+            if cfg.estimated_overlap < 1.0:
+                cnt_f = jnp.floor(
+                    cfg.estimated_overlap * n_src).astype(dtype)
             else:
-                dist = d_B
-        else:
-            tgt_m = matched[:, :3]
-            if is_se3:
-                tr_beta_m = matched[:, _pay_off["tr_beta"]:
-                                    _pay_off["tr_beta"] + 3]
-                d_A = jnp.linalg.norm(cur_tra - tr_beta_m, axis=-1)
-                d_B = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
-                dist = jnp.where(switched, d_B, d_A)
+                cnt_f = n_src.astype(dtype)
+            pf = jnp.concatenate([
+                tvec,
+                jnp.stack([f_beta, switched.astype(dtype),
+                           n_src.astype(dtype), cnt_f,
+                           jnp.zeros((), dtype)]),
+                R.reshape(-1),
+                jnp.zeros(7, dtype)])
+            A66, b8, st = pallas_loop.loop_epilogue(
+                src_cT, matched_T, pf,
+                cov6=cov_src0_6 if eff_variant == "gicp" else None,
+                conf=conf_src if use_cf else None,
+                variant=eff_variant, is_se3=is_se3, use_cf=use_cf,
+                do_trim=cfg.estimated_overlap < 1.0,
+                off_tr=_pay_off.get("tr_beta", 0),
+                off_nrm=_pay_off.get("normals", 0),
+                off_cov=_pay_off.get("cov", 0),
+                off_conf=_pay_off.get("conf_t", 0))
+            mse_val = st[0]
+            if eff_variant == "pt2pt":
+                T_i = solve.solve_pt2pt_from_moments(
+                    A66[:3, :3], b8[0:3], b8[3:6], st[1])
             else:
-                d_B = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
-                dist = d_B
-
-        # --- trimmed rejection (ref:cpp:669-671)
-        kept = trim.trim_mask(dist, src_valid, cfg.estimated_overlap, n_src)
-
-        # --- convergence MSE (mean kept distance; with_cf recomputes
-        #     euclidean moving-vs-target, ref:cpp:897)
-        if use_cf:
-            mse_val = trim.masked_mean(d_B, kept)
+                T_i = solve.solve_from_normal(A66, b8[:6], st[1])
         else:
-            mse_val = trim.masked_mean(dist, kept)
+            # --- stored distance (trim + mse source): R3 metric in both
+            #     phases (ref:cpp:411, 436, 465).  On the fused route every
+            #     per-point tensor stays feature-major ([3,N]/[6,N]) so the
+            #     small feature axis never sits on the vector lanes.
+            if use_packed:
+                tgt_mT = matched_T[:3]
+                src_movingT = R @ src_cT + tvec[:, None]
+                diffB = src_movingT - tgt_mT
+                d_B = jnp.sqrt(jnp.sum(diffB * diffB, axis=0))
+                if is_se3:
+                    cur_traT = f_beta * (R @ src_cT) + tvec[:, None]
+                    tr_beta_mT = matched_T[_pay_off["tr_beta"]:
+                                           _pay_off["tr_beta"] + 3]
+                    diffA = cur_traT - tr_beta_mT
+                    d_A = jnp.sqrt(jnp.sum(diffA * diffA, axis=0))
+                    dist = jnp.where(switched, d_B, d_A)
+                else:
+                    dist = d_B
+            else:
+                tgt_m = matched[:, :3]
+                if is_se3:
+                    tr_beta_m = matched[:, _pay_off["tr_beta"]:
+                                        _pay_off["tr_beta"] + 3]
+                    d_A = jnp.linalg.norm(cur_tra - tr_beta_m, axis=-1)
+                    d_B = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
+                    dist = jnp.where(switched, d_B, d_A)
+                else:
+                    d_B = jnp.linalg.norm(src_moving - tgt_m, axis=-1)
+                    dist = d_B
+
+            # --- trimmed rejection (ref:cpp:669-671)
+            kept = trim.trim_mask(dist, src_valid, cfg.estimated_overlap, n_src)
+
+            # --- convergence MSE (mean kept distance; with_cf recomputes
+            #     euclidean moving-vs-target, ref:cpp:897)
+            if use_cf:
+                mse_val = trim.masked_mean(d_B, kept)
+            else:
+                mse_val = trim.masked_mean(dist, kept)
+
+            # --- transform estimation
+            w = kept.astype(dtype)
+            if eff_variant == "pt2pt":
+                if use_packed:
+                    T_i = solve.solve_pt2pt_T(src_movingT, tgt_mT, w)
+                else:
+                    T_i = solve.solve_pt2pt(src_moving, tgt_m, w)
+            elif eff_variant == "pt2pl":
+                if use_packed:
+                    nrm_mT = matched_T[_pay_off["normals"]:
+                                       _pay_off["normals"] + 3]
+                    T_i = solve.solve_pt2pl_T(src_movingT, tgt_mT, nrm_mT,
+                                              w)
+                else:
+                    nrm_m = matched[:, _pay_off["normals"]:
+                                    _pay_off["normals"] + 3]
+                    T_i = solve.solve_pt2pl(src_moving, tgt_m, nrm_m, w)
+            else:
+                conf = None
+                if use_cf:
+                    conf_t_m = (matched_T[_pay_off["conf_t"]] if use_packed
+                                else matched[:, _pay_off["conf_t"]])
+                    conf = 0.5 * (conf_src + conf_t_m)
+                if use_packed:
+                    # fully component-major: whitening eigendecomposition,
+                    # R C R^T, and the Jacobian reduction all run on [6,N]
+                    # symmetric rows (solve_gicp_T) -- no [N,3,3] tiles in
+                    # the loop body
+                    cov_t_m6 = matched_T[_pay_off["cov"]:
+                                         _pay_off["cov"] + 6]
+                    cov_s_cur6 = solve.rotate_sym3_T(R, cov_src0_6)
+                    T_i = solve.solve_gicp_T(src_movingT, tgt_mT,
+                                             cov_s_cur6, cov_t_m6, w, conf)
+                else:
+                    cov_t_m = lrf._cov6_to_mat(
+                        matched[:, _pay_off["cov"]:_pay_off["cov"] + 6].T)
+                    cov_s_cur = jnp.einsum("ij,njk,lk->nil", R, cov_src0, R)
+                    T_i = solve.solve_gicp(src_moving, tgt_m, cov_s_cur,
+                                           cov_t_m, w, conf)
+
         mse_prev = s["mse_cur"]
         mse_rel = jnp.abs(mse_val - mse_prev)
-
-        # --- transform estimation
-        w = kept.astype(dtype)
-        if eff_variant == "pt2pt":
-            if use_packed:
-                T_i = solve.solve_pt2pt_T(src_movingT, tgt_mT, w)
-            else:
-                T_i = solve.solve_pt2pt(src_moving, tgt_m, w)
-        elif eff_variant == "pt2pl":
-            if use_packed:
-                nrm_mT = matched_T[_pay_off["normals"]:
-                                   _pay_off["normals"] + 3]
-                T_i = solve.solve_pt2pl_T(src_movingT, tgt_mT, nrm_mT,
-                                          w)
-            else:
-                nrm_m = matched[:, _pay_off["normals"]:
-                                _pay_off["normals"] + 3]
-                T_i = solve.solve_pt2pl(src_moving, tgt_m, nrm_m, w)
-        else:
-            conf = None
-            if use_cf:
-                conf_t_m = (matched_T[_pay_off["conf_t"]] if use_packed
-                            else matched[:, _pay_off["conf_t"]])
-                conf = 0.5 * (conf_src + conf_t_m)
-            if use_packed:
-                # fully component-major: whitening eigendecomposition,
-                # R C R^T, and the Jacobian reduction all run on [6,N]
-                # symmetric rows (solve_gicp_T) -- no [N,3,3] tiles in
-                # the loop body
-                cov_t_m6 = matched_T[_pay_off["cov"]:
-                                     _pay_off["cov"] + 6]
-                cov_s_cur6 = solve.rotate_sym3_T(R, cov_src0_6)
-                T_i = solve.solve_gicp_T(src_movingT, tgt_mT,
-                                         cov_s_cur6, cov_t_m6, w, conf)
-            else:
-                cov_t_m = lrf._cov6_to_mat(
-                    matched[:, _pay_off["cov"]:_pay_off["cov"] + 6].T)
-                cov_s_cur = jnp.einsum("ij,njk,lk->nil", R, cov_src0, R)
-                T_i = solve.solve_gicp(src_moving, tgt_m, cov_s_cur,
-                                       cov_t_m, w, conf)
 
         T_new = T_i @ T
 

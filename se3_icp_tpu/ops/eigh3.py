@@ -145,9 +145,46 @@ def smallest_eigvec3(A):
     return vecs[..., 0]
 
 
-@jax.jit
-def eigh3_c(a00, a01, a02, a11, a12, a22):
+def _cardano_cos(r):
+    """Cardano's two cosines: (cos(acos(r)/3), cos(acos(r)/3 + 2pi/3))."""
+    phi = jnp.arccos(r) / 3.0
+    return jnp.cos(phi), jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+
+# acos(x)/sqrt(1-x) on [0,1], degree-7 least-squares fit; the resulting
+# acos approximation is |err| <= 2.5e-8 over [-1,1] -- below f32 ulp
+_ACOS_C = (1.5707963018, -0.2145984945, 0.0889741021, -0.0501450367,
+           0.0308082776, -0.0169654979, 0.0065808987, -0.0012370074)
+
+
+def cardano_cos_kernel_safe(r):
+    """``_cardano_cos`` without acos/atan2/large-angle cos, none of
+    which lower on Mosaic TC: polynomial acos (|err| 2.5e-8) + Taylor
+    cos/sin on phi in [0, pi/3] (|err| < 4e-8), combined with the
+    angle-addition identity.  End-to-end error vs jnp is ~3e-8 --
+    below f32 roundoff of the downstream eigenvalues."""
+    xa = jnp.abs(r)
+    p = jnp.asarray(_ACOS_C[7], r.dtype)
+    for k in range(6, -1, -1):
+        p = p * xa + _ACOS_C[k]
+    u_pos = jnp.sqrt(jnp.maximum(1.0 - xa, 0.0)) * p
+    u = jnp.where(r < 0, jnp.pi - u_pos, u_pos)
+    phi = u * (1.0 / 3.0)
+    x2 = phi * phi
+    cosp = 1.0 + x2 * (-1.0 / 2 + x2 * (1.0 / 24 + x2 * (
+        -1.0 / 720 + x2 * (1.0 / 40320 - x2 * (1.0 / 3628800)))))
+    sinp = phi * (1.0 + x2 * (-1.0 / 6 + x2 * (1.0 / 120 + x2 * (
+        -1.0 / 5040 + x2 * (1.0 / 362880)))))
+    return cosp, -0.5 * cosp - 0.8660254037844386 * sinp
+
+
+def eigh3_c(a00, a01, a02, a11, a12, a22, cardano=_cardano_cos):
     """``eigh3`` on COMPONENT-MAJOR operands.
+
+    Plain function (not jit-wrapped): every call site is already inside
+    a jitted program, and the component form is what the Pallas loop
+    epilogue kernel traces INSIDE the kernel body (pallas_loop.py) --
+    pass ``cardano=cardano_cos_kernel_safe`` there.
 
     Each argument is one symmetric-matrix component of shape [...]
     (typically [N] or [B, N]); returns ``(vals, vecs)`` where ``vals``
@@ -202,10 +239,10 @@ def eigh3_c(a00, a01, a02, a11, a12, a22):
            - d01 * (d01 * d22 - d12 * d02)
            + d02 * (d01 * d12 - d11 * d02))
     r = jnp.clip(det * 0.5, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
+    cos0, cos_plus = cardano(r)
     two_p = jnp.where(p < peps, jnp.zeros_like(p), 2.0 * p)
-    e2 = q + two_p * jnp.cos(phi)
-    e0 = q + two_p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = q + two_p * cos0
+    e0 = q + two_p * cos_plus
     e1 = 3.0 * q - e0 - e2
 
     # --- better-isolated extreme eigenvalue first
@@ -275,20 +312,20 @@ def eigh3_c(a00, a01, a02, a11, a12, a22):
     return vals, (v0, v_mid, v2)
 
 
-@jax.jit
-def smallest_eigvec3_c(a00, a01, a02, a11, a12, a22):
+def smallest_eigvec3_c(a00, a01, a02, a11, a12, a22,
+                       cardano=_cardano_cos):
     """Unit eigenvector of the smallest eigenvalue, component-major:
     returns (v0, v1, v2) arrays (see ``eigh3_c``)."""
-    _, vecs = eigh3_c(a00, a01, a02, a11, a12, a22)
+    _, vecs = eigh3_c(a00, a01, a02, a11, a12, a22, cardano=cardano)
     return vecs[0]
 
 
-@jax.jit
-def inv_sqrt_sym3_c(a00, a01, a02, a11, a12, a22, eps_clamp=1e-12):
+def inv_sqrt_sym3_c(a00, a01, a02, a11, a12, a22, eps_clamp=1e-12,
+                    cardano=_cardano_cos):
     """``inv_sqrt_sym3`` on component-major operands: returns the six
     components (w00, w01, w02, w11, w12, w22) of M^(-1/2) =
     sum_k lam_k^(-1/2) v_k v_k^T."""
-    vals, vecs = eigh3_c(a00, a01, a02, a11, a12, a22)
+    vals, vecs = eigh3_c(a00, a01, a02, a11, a12, a22, cardano=cardano)
     dtype = a00.dtype
     out = [jnp.zeros_like(a00) for _ in range(6)]
     pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))

@@ -302,10 +302,103 @@ def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 4096,
     return (idx.reshape(-1, k)[:nq], d2.reshape(-1, k)[:nq])
 
 
-@functools.partial(jax.jit, static_argnames=("k", "method"))
+# Batched setup-kNN memory budget: the [B, chunk, Nt] distance block of
+# one query chunk.  1.5 GB keeps FGR's kNN(101) + FPFH feature buffers
+# inside a 16 GB chip at the serving batch (VERDICT r3 item 6); the
+# unbatched path is unaffected.
+_TOPK_BATCH_BUDGET = int(os.environ.get("SE3_ICP_TPU_TOPK_BUDGET",
+                                        str(1_500_000_000)))
+
+
+def _knn_topk_batched(queries, targets, n_targets, k: int, method: str,
+                      recall: float):
+    """Batch-aware chunked top-k: queries [B,Nq,D], targets [B,Nt,D].
+
+    A vmap of ``knn_topk`` multiplies its query chunk by B -- the
+    [B, chunk, Nt] distance block of the default 4096-row chunk is
+    5.4 GB at 64x4608 (the FGR OOM).  Here the chunk shrinks with the
+    batch so the block stays inside ``_TOPK_BATCH_BUDGET``; chunking is
+    over QUERIES only, so results are identical to the unbatched path.
+    """
+    bsz, nq, d = queries.shape
+    nt = targets.shape[1]
+    bytes_per = 2 if method == "approx" else 4
+    chunk = max(128, _TOPK_BATCH_BUDGET // max(bsz * nt * bytes_per, 1))
+    steps = max(1, -(-nq // chunk))
+    chunk = -(-(-(-nq // steps)) // 128) * 128  # ceil(nq/steps) to x128
+    pad = steps * chunk - nq
+    qp = jnp.pad(queries, ((0, 0), (0, pad), (0, 0)))
+    qt = jnp.moveaxis(qp.reshape(bsz, steps, chunk, d), 1, 0)
+    n_arr = jnp.asarray(n_targets, jnp.int32)
+    tn_f32 = jnp.sum(targets * targets, axis=-1)         # [B, Nt]
+
+    def one(qc):                                          # [B, chunk, D]
+        if method == "approx":
+            qn = jnp.sum(qc * qc, axis=-1, keepdims=True)
+            prod = jax.lax.dot_general(
+                qc, targets,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            d2 = (qn - 2.0 * prod + tn_f32[:, None, :]).astype(
+                jnp.bfloat16)
+            col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+            d2 = jnp.where(col < n_arr[:, None, None], d2,
+                           jnp.asarray(1e30, jnp.bfloat16))
+            mind, idx = jax.lax.approx_min_k(
+                d2, k, recall_target=recall, aggregate_to_topk=True)
+            return idx.astype(jnp.int32), mind.astype(queries.dtype)
+        qn = jnp.sum(qc * qc, axis=-1, keepdims=True)
+        prod = jax.lax.dot_general(
+            qc, targets, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=qc.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+        d2 = qn - 2.0 * prod + tn_f32[:, None, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+        d2 = jnp.where(col < n_arr[:, None, None], d2,
+                       jnp.asarray(_BIG, d2.dtype))
+        neg, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), -neg
+
+    idx, d2 = jax.lax.map(one, qt)                # [steps, B, chunk, k]
+    idx = jnp.moveaxis(idx, 0, 1).reshape(bsz, -1, k)[:, :nq]
+    d2 = jnp.moveaxis(d2, 0, 1).reshape(bsz, -1, k)[:, :nq]
+    return idx, d2
+
+
+@functools.lru_cache(maxsize=None)
+def _topk_vmap_fn(k: int, method: str, recall: float):
+    """custom_vmap wrapper factory (cached per static config): unbatched
+    calls run ``knn_topk`` unchanged; vmapped calls use the batch-aware
+    chunking above."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(queries, targets, n_targets):
+        return knn_topk(queries, targets, k, n_targets, method=method,
+                        recall=recall)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, queries, targets, n_targets):
+        qb, tb, nb = in_batched
+        out = _knn_topk_batched(
+            _bcast(queries, qb, axis_size), _bcast(targets, tb, axis_size),
+            _bcast(jnp.asarray(n_targets, jnp.int32), nb, axis_size),
+            k, method, recall)
+        return out, (True, True)
+
+    return fn
+
+
 def knn_self(points, k: int, n_valid=None, method: str | None = None):
-    """kNN of a cloud against itself (self included at rank 0)."""
-    return knn_topk(points, points, k, n_valid, method=method)
+    """kNN of a cloud against itself (self included at rank 0).
+
+    vmap-compatible: batched calls chunk queries with a batch-aware
+    VMEM/HBM budget instead of multiplying the unbatched chunk by B."""
+    method = method or _topk_method()
+    recall = approx_recall() if method == "approx" else 1.0
+    if n_valid is None:
+        n_valid = points.shape[0]
+    return _topk_vmap_fn(k, method, recall)(
+        points, points, jnp.asarray(n_valid, jnp.int32))
 
 
 def use_fused_match() -> bool:

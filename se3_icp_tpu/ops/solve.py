@@ -229,6 +229,28 @@ def solve_pt2pt_T(srcT, tgtT, weights):
     return _safe_transform(se3.rt_to_T(R, t), ok)
 
 
+def solve_from_normal(JTJ, JTr, wsum):
+    """Finish a pt2pl/gicp step whose JtJ/Jtr reduction already ran in
+    the fused loop-epilogue kernel (ops/pallas_loop.py): 6x6 solve +
+    Euler-ZYX retraction, identity on failure / under-determined fits."""
+    ok = wsum > 5.5
+    return _safe_transform(solve_normal_equations(JTJ, JTr), ok)
+
+
+def solve_pt2pt_from_moments(H, mu_s, mu_t, wsum):
+    """Finish a pt2pt (Umeyama) step from the fused epilogue kernel's
+    weighted moments: H = sum w (t - mu_t)(s - mu_s)^T, plus the
+    weighted means.  Same SVD/sign logic as solve_pt2pt."""
+    dtype = H.dtype
+    ok = wsum > 2.5
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], dtype)).at[2, 2].set(d)
+    R = U @ D @ Vt
+    t = mu_t - R @ mu_s
+    return _safe_transform(se3.rt_to_T(R, t), ok)
+
+
 def estimate_transform(variant: str, src, tgt, weights, *,
                        tgt_normals=None, cov_src=None, cov_tgt=None,
                        conf=None):
