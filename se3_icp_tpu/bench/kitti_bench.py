@@ -19,7 +19,64 @@ from se3_icp_tpu.utils import metrics_host, ply
 from se3_icp_tpu.utils.config import KITTI_SE3, KITTI_VANILLA
 
 
-def load_kitti(folder: str, max_index=1100, step=2):
+def _find_velodyne(folder: str):
+    """Locate a raw-odometry layout: returns (velodyne_dir, poses_path)
+    or None.  Accepts the official bundle rooted at the sequence dir
+    (``<folder>/velodyne`` + ``<folder>/07.txt``), the odometry tree
+    (``<folder>/sequences/07/velodyne`` + ``<folder>/poses/07.txt``),
+    and the reference bundle's naming (``<folder>/Sequence_07/velodyne``
+    + ``<folder>/Sequence_07/07.txt``)."""
+    candidates = [
+        (os.path.join(folder, "velodyne"),
+         os.path.join(folder, "07.txt")),
+        (os.path.join(folder, "sequences", "07", "velodyne"),
+         os.path.join(folder, "poses", "07.txt")),
+        (os.path.join(folder, "Sequence_07", "velodyne"),
+         os.path.join(folder, "Sequence_07", "07.txt")),
+    ]
+    for vdir, pfile in candidates:
+        if (os.path.isdir(vdir)
+                and os.path.isfile(os.path.join(vdir, "000000.bin"))
+                and os.path.isfile(pfile)):
+            return vdir, pfile
+    return None
+
+
+def load_kitti(folder: str, max_index=1100, step=2, voxel=0.0):
+    """Load the KITTI seq-07 protocol clouds + poses.
+
+    Two on-disk layouts:
+      * the reference's bundle (``Sequence_07/Downsampled/%06d.ply`` at
+        step-2 indices): poses from ``07.txt`` reading EVERY OTHER line
+        to match (benchmark_kitti.cpp:79-98); ``step`` indexes the
+        step-2 files (default 2 = the 550-pair protocol);
+      * a RAW odometry bundle (``velodyne/%06d.bin`` float32 x,y,z,r +
+        full-rate ``07.txt``; see ``_find_velodyne`` for accepted
+        roots): poses are read at FULL RATE -- every i-th line pairs
+        with scan i -- and ``step`` strides scans directly (step=2
+        reproduces the reference protocol's every-other-scan pairing);
+        ``voxel`` > 0 applies Open3D-style voxel-centroid downsampling
+        per scan (the reference bundle ships pre-downsampled clouds;
+        ~0.3 m reproduces its ~15k density).  Example:
+
+          python -m se3_icp_tpu bench-kitti se3_pt2pl \\
+              ~/kitti/sequences/07_root --voxel 0.3
+    """
+    raw = _find_velodyne(folder)
+    if raw is not None:
+        vdir, pfile = raw
+        poses_full = ply.read_trajectory_12col(pfile)
+        clouds, poses = [], []
+        for i in range(0, max_index + 1, step):
+            path = os.path.join(vdir, f"{i:06d}.bin")
+            if not os.path.isfile(path) or i >= len(poses_full):
+                break
+            pts = ply.read_velodyne_bin(path)
+            if voxel > 0:
+                pts = ply.voxel_downsample(pts, voxel)
+            clouds.append(pts)
+            poses.append(poses_full[i])
+        return clouds, np.asarray(poses)
     poses = ply.read_trajectory_12col(
         os.path.join(folder, "Sequence_07", "07.txt"))
     poses = poses[::2]  # every other line (benchmark_kitti.cpp:79-98)
@@ -148,7 +205,7 @@ def _run_pairs_online(pairs, algorithm, cfg, dtype=np.float32,
 
 def benchmark_kitti(algorithm: str, folder: str, rot_alpha=3.0, mesh=None,
                     checkpoint=None, dtype=np.float32, max_index=1100,
-                    save_traj=None, online=False):
+                    save_traj=None, online=False, voxel=0.0):
     """``save_traj``: optional path; writes the estimated ABSOLUTE
     trajectory (accumulated scan-to-scan transforms, one 12-number row
     per kept frame, same format as 07.txt) for ``eval-traj``.
@@ -156,8 +213,11 @@ def benchmark_kitti(algorithm: str, folder: str, rot_alpha=3.0, mesh=None,
     ``online``: serial frame-at-a-time processing with a constant-
     velocity warm start from the previous pair (see
     ``_run_pairs_online``); reports latency instead of batched
-    throughput."""
-    clouds, poses = load_kitti(folder, max_index)
+    throughput.
+
+    ``voxel``: per-scan voxel downsampling for RAW velodyne bundles
+    (see ``load_kitti``); ignored for the pre-downsampled PLY layout."""
+    clouds, poses = load_kitti(folder, max_index, voxel=voxel)
     # source = cloud[i+1], target = cloud[i] (:130-131)
     pairs = [(clouds[i + 1], clouds[i]) for i in range(len(clouds) - 1)]
     cfg = (KITTI_VANILLA if algorithm in ("pt2pt", "pt2pl", "gicp")

@@ -242,7 +242,7 @@ def cmd_bench_kitti(args):
         args.algorithm, args.folder, rot_alpha=args.rot_alpha,
         checkpoint=args.checkpoint, dtype=np.dtype(args.dtype),
         max_index=args.max_index, save_traj=args.save_traj,
-        online=args.online)
+        online=args.online, voxel=args.voxel)
     if args.json:
         print(json.dumps(rep))
 
@@ -409,6 +409,12 @@ def build_parser():
                            help="run the reference's dormant KITTI "
                                 "difficulty + Chamfer analyses instead "
                                 "of registering")
+            p.add_argument("--voxel", type=float, default=0.0,
+                           help="voxel-centroid downsampling size for "
+                                "RAW velodyne .bin bundles (full-rate "
+                                "07.txt + velodyne/%%06d.bin run "
+                                "unmodified; ~0.3 reproduces the "
+                                "reference bundle's density)")
             p.add_argument("--alpha-sweep", action="store_true",
                            help="full hybrid alpha grid over the KITTI "
                                 "protocol (benchmark_different_rot_"

@@ -235,9 +235,14 @@ def _nn_argmin_padded_batched(queries, targets, tn, tile_q: int,
     return (best_idx.reshape(bsz, -1), best_d2.reshape(bsz, -1))
 
 
-def _pick_tiles(nq: int, nt: int,
-                budget: int = 10 * 1024 * 1024) -> tuple[int, int]:
+def _pick_tiles(nq: int, nt: int, budget: int | None = None
+                ) -> tuple[int, int]:
     """Tile selection for the batched kernel.
+
+    ``budget`` (bytes, default 10 MiB, override via
+    SE3_ICP_TPU_TILE_BUDGET): cap on the f32 [tile_q, tile_t] distance
+    block; raising it trades VMEM for wider query tiles at large N
+    (15360-point clouds pick tile_q=256 at 10 MiB, 512 at 20 MiB).
 
     Targets stream in minimal-padding chunks of at most 4608 rows (a
     4608-point cloud runs ONE pass with zero padding; 15360 runs 4x3840
@@ -245,6 +250,9 @@ def _pick_tiles(nq: int, nt: int,
     multiple of 128 whose [tile_q, tile_t] f32 d2 block fits the VMEM
     budget -- powers of two only, because 384-row tiles measured ~8x
     slower than 512 on v5e (pathological Mosaic layout)."""
+    if budget is None:
+        budget = int(os.environ.get("SE3_ICP_TPU_TILE_BUDGET",
+                                    str(10 * 1024 * 1024)))
     nt_p = -(-nt // 128) * 128
     steps = -(-nt_p // 4608)
     tile_t = -(-(-(-nt_p // steps)) // 128) * 128  # ceil/steps, to x128

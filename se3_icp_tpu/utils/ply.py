@@ -259,6 +259,41 @@ def write_trajectory_12col(path: str | os.PathLike, mats: np.ndarray) -> None:
     np.savetxt(path, mats[:, :3, :4].reshape(mats.shape[0], 12), fmt="%.10g")
 
 
+def read_velodyne_bin(path: str | os.PathLike) -> np.ndarray:
+    """Read a raw KITTI velodyne scan: little-endian float32 rows of
+    (x, y, z, reflectance); returns [N,3] float64 points (reflectance
+    dropped).  This is the on-disk format of the official odometry
+    bundle's ``sequences/NN/velodyne/%06d.bin`` files -- the drop-in
+    input the reference's Downsampled-PLY bundle was derived from
+    (examples/benchmark_kitti.cpp:101-107)."""
+    raw = np.fromfile(os.fspath(path), dtype="<f4")
+    if raw.size % 4:
+        raise ValueError(f"{path}: velodyne .bin length {raw.size} is "
+                         "not a multiple of 4 floats")
+    return raw.reshape(-1, 4)[:, :3].astype(np.float64)
+
+
+def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
+    """Open3D ``VoxelDownSample`` semantics: bucket points into a
+    ``voxel``-sized grid anchored at the cloud minimum and return one
+    CENTROID per occupied voxel.  Used to bring raw velodyne scans
+    (~120k points) to the reference bundle's downsampled density before
+    registration."""
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    if voxel <= 0 or len(pts) == 0:
+        return pts
+    keys = np.floor((pts - pts.min(axis=0)) / voxel).astype(np.int64)
+    # unique voxel ids via lexicographic encode (ranges are bounded by
+    # the scan extent / voxel, far below 2**21 per axis)
+    kid = (keys[:, 0] << 42) | (keys[:, 1] << 21) | keys[:, 2]
+    order = np.argsort(kid, kind="stable")
+    kid_s = kid[order]
+    start = np.flatnonzero(np.r_[True, kid_s[1:] != kid_s[:-1]])
+    sums = np.add.reduceat(pts[order], start, axis=0)
+    counts = np.diff(np.r_[start, len(kid_s)])[:, None]
+    return sums / counts
+
+
 def read_redwood_log(path: str | os.PathLike):
     """Read a redwood-format trajectory ``.log`` file.
 
