@@ -404,8 +404,24 @@ def main():
                 ks, kt, k_gt = kitti_scale_problem()
                 k_lists = make_rep_lists(ks, kt, sub_reps, 8, rng)
                 k_cfg = GOLDEN.replace(estimated_overlap=0.7)
-                return timed_variant(k_lists, "se3_pt2pl", k_cfg,
+                rate = timed_variant(k_lists, "se3_pt2pl", k_cfg,
                                      k_gt, mesh, sub_reps)[0]
+                if not os.environ.get("BENCH_NO_PHASES"):
+                    # setup/loop attribution at the 15k regime
+                    # (VERDICT r3 item 4)
+                    (kf_ms, ki, kp, ks_ms, kit_ms) = phase_breakdown(
+                        k_lists, "se3_pt2pl", k_cfg, mesh, sub_reps)
+                    ph = {"batch": 8,
+                          "full_ms_per_batch": round(kf_ms, 2),
+                          "mean_iterations": round(ki, 2)}
+                    if kit_ms is not None:
+                        ph.update({
+                            "setup_plus_overhead_ms_per_batch":
+                                round(ks_ms, 2),
+                            "loop_ms_per_batch": round(kit_ms * ki, 2),
+                            "iter_ms": round(kit_ms, 3)})
+                    out["kitti15k_phases"] = ph
+                return rate
             extra("se3_pt2pl_kitti15k_pairs_per_s", kitti_rate)
         out["extras"] = extras
 

@@ -97,10 +97,16 @@ def _fgr_impl(src, n_src, tgt, n_tgt, cfg):
 
     # --- features on ORIGINAL coordinates (reference computes normals +
     #     FPFH before any normalization); +1 kNN column so normals use
-    #     the gather-free dense path (see lrf.normals_dense)
+    #     the gather-free dense path (see lrf.normals_dense).  EXACT
+    #     kNN: FPFH weights each neighbor by 1/d2, so the distance
+    #     VALUES matter, not just the ranks -- the approx path's bf16
+    #     distance quantization measurably degrades the descriptors
+    #     (golden FGR 0.27 deg exact vs tens of degrees approx, r4);
+    #     Open3D's FLANN is exact here too.  Setup runs once per
+    #     registration, so the exact f32 pass is affordable.
     kw = max(cfg.fpfh_knn, cfg.normals_knn) + 1
-    idx_s, d2_s = knn.knn_self(src, kw, n_src)
-    idx_t, d2_t = knn.knn_self(tgt, kw, n_tgt)
+    idx_s, d2_s = knn.knn_self(src, kw, n_src, method="exact")
+    idx_t, d2_t = knn.knn_self(tgt, kw, n_tgt, method="exact")
     nrm_s = lrf.normals_dense(src, d2_s, cfg.normals_knn, n_src)
     nrm_t = lrf.normals_dense(tgt, d2_t, cfg.normals_knn, n_tgt)
 

@@ -85,7 +85,7 @@ def _kernel_epilogue(*refs, variant, is_se3, use_cf, do_trim,
     bp = src_ref.shape[0]
     n = src_ref.shape[2]
     x, y, z = src_ref[:, 0, :], src_ref[:, 1, :], src_ref[:, 2, :]
-    pf = pf_ref[...]
+    pf = pf_ref[:, 0, :]
 
     def col(k):
         return pf[:, k:k + 1]
@@ -186,7 +186,7 @@ def _kernel_epilogue(*refs, variant, is_se3, use_cf, do_trim,
                        axis=1)
         H = bdot(dtw, ds)                                  # [BP,3,3]
         a_ref[...] = jnp.pad(H, ((0, 0), (0, 3), (0, 3)))
-        b_ref[...] = jnp.concatenate(
+        b_ref[:, 0, :] = jnp.concatenate(
             [mu_s[0], mu_s[1], mu_s[2], mu_t[0], mu_t[1], mu_t[2],
              jnp.zeros((bp, 2), f32)], axis=1)
     elif variant == "pt2pl":
@@ -199,7 +199,7 @@ def _kernel_epilogue(*refs, variant, is_se3, use_cf, do_trim,
         jtw = jt * w[:, None, :]
         a_ref[...] = bdot(jtw, jt)
         jtr = bdot(jtw, r[:, None, :])                     # [BP,6,1]
-        b_ref[...] = jnp.pad(jtr[:, :, 0], ((0, 0), (0, 2)))
+        b_ref[:, 0, :] = jnp.pad(jtr[:, :, 0], ((0, 0), (0, 2)))
     else:  # gicp
         # rotated source covariance R C0 R^T on loop-invariant C0 rows
         c6 = [cov6_ref[:, k, :] for k in range(6)]
@@ -216,7 +216,7 @@ def _kernel_epilogue(*refs, variant, is_se3, use_cf, do_trim,
         W6 = eigh3.inv_sqrt_sym3_c(
             *m6, cardano=eigh3.cardano_cos_kernel_safe)
         if use_cf:
-            cw = 0.5 * (conf_ref[...] + mt_ref[:, off_conf, :])
+            cw = 0.5 * (conf_ref[:, 0, :] + mt_ref[:, off_conf, :])
             W6 = tuple(xw * cw for xw in W6)
         Wm = ((W6[0], W6[1], W6[2]), (W6[1], W6[3], W6[4]),
               (W6[2], W6[4], W6[5]))
@@ -239,10 +239,10 @@ def _kernel_epilogue(*refs, variant, is_se3, use_cf, do_trim,
         jw = jcat * w3
         a_ref[...] = bdot(jw, jcat)
         jtr = bdot(jw, rcat)
-        b_ref[...] = jnp.pad(jtr[:, :, 0], ((0, 0), (0, 2)))
+        b_ref[:, 0, :] = jnp.pad(jtr[:, :, 0], ((0, 0), (0, 2)))
 
-    st_ref[...] = jnp.concatenate([mse, wsum, jnp.zeros((bp, 6), f32)],
-                                  axis=1)
+    st_ref[:, 0, :] = jnp.concatenate(
+        [mse, wsum, jnp.zeros((bp, 6), f32)], axis=1)
 
 
 @functools.partial(
@@ -267,23 +267,33 @@ def loop_epilogue_batched(srcT, matchedT, pf, cov6=None, conf=None, *,
     """
     bsz, _, n = srcT.shape
     p = matchedT.shape[1]
-    bp = next(b for b in (8, 4, 2, 1) if bsz % b == 0)
+    # pairs per grid step: 8 fills the f32 sublanes, but the kernel's
+    # live temporaries scale with bp*N and must fit Mosaic's ~16 MB
+    # scoped VMEM -- gicp holds ~70 [bp,N] rows (J6 [bp,6,3N], the
+    # in-kernel eigh intermediates, rotated covariances), pt2pt/pt2pl
+    # ~32 (measured: gicp at bp=8, N=15360 overflows by 8.7 MB)
+    bp_n_cap = 55_000 if variant == "gicp" else 130_000
+    bp = next(b for b in (8, 4, 2, 1)
+              if bsz % b == 0 and (b * n <= bp_n_cap or b == 1))
     isteps = int(np.ceil(np.log2(max(n, 2)))) + 2
     grid = (bsz // bp,)
 
     in_specs = [
         pl.BlockSpec((bp, 3, n), lambda b: (b, 0, 0)),
         pl.BlockSpec((bp, p, n), lambda b: (b, 0, 0)),
-        pl.BlockSpec((bp, PF_WIDTH), lambda b: (b, 0)),
+        # unit middle dim: a (bp, 1, W) block satisfies Mosaic's
+        # sublane rule for any bp (bp < 8 on large-N gicp)
+        pl.BlockSpec((bp, 1, PF_WIDTH), lambda b: (b, 0, 0)),
     ]
     args = [srcT.astype(jnp.float32), matchedT.astype(jnp.float32),
-            pf.astype(jnp.float32)]
+            pf.astype(jnp.float32)[:, None, :]]
     if variant == "gicp":
         in_specs.append(pl.BlockSpec((bp, 6, n), lambda b: (b, 0, 0)))
         args.append(cov6.astype(jnp.float32))
         if use_cf:
-            in_specs.append(pl.BlockSpec((bp, n), lambda b: (b, 0)))
-            args.append(conf.astype(jnp.float32))
+            in_specs.append(pl.BlockSpec((bp, 1, n),
+                                         lambda b: (b, 0, 0)))
+            args.append(conf.astype(jnp.float32)[:, None, :])
 
     kern = functools.partial(
         _kernel_epilogue, variant=variant, is_se3=is_se3, use_cf=use_cf,
@@ -296,13 +306,13 @@ def loop_epilogue_batched(srcT, matchedT, pf, cov6=None, conf=None, *,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((bp, 6, 6), lambda b: (b, 0, 0)),
-            pl.BlockSpec((bp, 8), lambda b: (b, 0)),
-            pl.BlockSpec((bp, 8), lambda b: (b, 0)),
+            pl.BlockSpec((bp, 1, 8), lambda b: (b, 0, 0)),
+            pl.BlockSpec((bp, 1, 8), lambda b: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, 6, 6), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 8), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, 8), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * n * (40 + 36 * (3 if variant == "gicp"
@@ -314,7 +324,7 @@ def loop_epilogue_batched(srcT, matchedT, pf, cov6=None, conf=None, *,
         ),
     )(*args)
     dt = srcT.dtype
-    return a.astype(dt), b.astype(dt), st.astype(dt)
+    return a.astype(dt), b[:, 0].astype(dt), st[:, 0].astype(dt)
 
 
 def _bcast(x, b, axis_size):
