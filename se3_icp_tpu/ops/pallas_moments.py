@@ -200,12 +200,25 @@ def _poison_pack(points, n_valid, tile_t):
     return pp
 
 
-def _tile_q_for(tile_t: int, budget: int) -> int:
+def _tile_q_for(tile_t: int, budget: int, nqp: int | None = None,
+                cap_env: str | None = None, cap: int = 256) -> int:
     """Largest power-of-two query tile whose [tile_q, tile_t] f32 block
-    fits the VMEM budget (mirrors pallas_knn._pick_tiles), capped at
-    256 so it always divides the shared pack's 256-aligned query pad."""
+    fits the VMEM budget (mirrors pallas_knn._pick_tiles).  ``cap``
+    defaults to 256 so the tile always divides the shared pack's
+    256-aligned query pad; ``cap_env`` names an env override for
+    on-chip tile sweeps, and ``nqp`` (the padded query count) gates
+    doubling so a raised cap never breaks divisibility."""
+    import os
+    if cap_env and cap_env in os.environ:
+        # explicit sweep override: take the requested tile (clamped to
+        # nqp divisibility), bypassing the budget heuristic
+        tile_q = int(os.environ[cap_env])
+        while tile_q > 128 and (nqp is not None and nqp % tile_q):
+            tile_q //= 2
+        return max(tile_q, 128)
     tile_q = 128
-    while tile_q * 2 * 4 * tile_t <= budget and tile_q < 256:
+    while (tile_q * 2 * 4 * tile_t <= budget and tile_q < cap
+           and (nqp is None or nqp % (tile_q * 2) == 0)):
         tile_q *= 2
     return tile_q
 
@@ -311,7 +324,8 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
     if packed is not None and queries is None:
         pp, q6, t6, tn, qn, r48t, _ = packed
         tile_t = _packed_tile_t(packed)
-        tile_q = _tile_q_for(tile_t, 5 * 1024 * 1024)
+        tile_q = _tile_q_for(tile_t, 5 * 1024 * 1024, nqp=qn.shape[1],
+                             cap_env="SE3_ICP_TPU_MOM_TILE_Q")
         pad_q = qn.shape[1] - nq
     else:
         tile_q, tile_t = _pick_tiles(nq, n, budget=5 * 1024 * 1024)
@@ -518,9 +532,12 @@ def neighborhood_thresholds_batched(points, n_valid, counts,
     bsz, n, _ = points.shape
     nq = q_pts.shape[1]
     t_n = counts.shape[1]
-    tile_q = 256
+    import os
+    tile_q = int(os.environ.get("SE3_ICP_TPU_THR_TILE_Q", "256"))
     if packed is not None and queries is None:
         _, q6, t6, tn, qn, _, _ = packed
+        while tile_q > 256 and qn.shape[1] % tile_q:
+            tile_q //= 2
     else:
         pp = _poison_pack(points, n_valid, _CAND)
         pad_q = (-nq) % tile_q
@@ -571,7 +588,8 @@ def axis_sums_batched(points, n_valid, normal_t, ndotq, radius, thr_all,
         tile_t = _packed_tile_t(packed)
         # tighter budget than the moments kernel: the axis body keeps
         # ~4 live [tile_q, tile_t] f32 tiles (r, ndp, w, limb temps)
-        tile_q = _tile_q_for(tile_t, 2 * 1024 * 1024)
+        tile_q = _tile_q_for(tile_t, 2 * 1024 * 1024, nqp=qn.shape[1],
+                             cap_env="SE3_ICP_TPU_AXIS_TILE_Q")
         pad_q = qn.shape[1] - nq
     else:
         tile_q, tile_t = _pick_tiles(nq, n, budget=2 * 1024 * 1024)
