@@ -597,11 +597,30 @@ def _nn_match_packed_padded(phase, q6, t6_pair, tn_pair, pay3,
 def _kernel_match_affine(phase_ref, feat_ref, w_ref, t_ref, tn_ref,
                          pay_ref, best_d2_ref, best_idx_ref,
                          best_pay_ref):
-    del phase_ref  # consumed by the index maps
+    b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     tile_t = t_ref.shape[2]
 
+    # phase_ref [B,2]: column 0 picks the phase block (index maps),
+    # column 1 is the pair's DONE flag -- converged pairs skip the
+    # whole body (their outputs are stale garbage, which the engine's
+    # done-masked carry discards anyway).  The batch loops until every
+    # pair converges, so this refunds (max_iters - iters_b) match
+    # passes per pair -- ~17% of loop compute at the golden batch,
+    # more under heterogeneous real batches.
+    @pl.when(phase_ref[b, 1] == 0)
+    def _active():
+        _kernel_match_affine_body(phase_ref, feat_ref, w_ref, t_ref,
+                                  tn_ref, pay_ref, best_d2_ref,
+                                  best_idx_ref, best_pay_ref, i, j,
+                                  tile_t)
+
+
+def _kernel_match_affine_body(phase_ref, feat_ref, w_ref, t_ref, tn_ref,
+                              pay_ref, best_d2_ref, best_idx_ref,
+                              best_pay_ref, i, j, tile_t):
+    del phase_ref
     q = jax.lax.dot_general(
         feat_ref[0], w_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -676,9 +695,9 @@ def _nn_match_affine_padded(phase, feat, w, t6_pair, tn_pair, pay3,
             pl.BlockSpec((1, fdim, fdim),
                          lambda b, i, j, ph: (b, 0, 0)),
             pl.BlockSpec((1, 1, tile_t, t6_pair.shape[3]),
-                         lambda b, i, j, ph: (b, ph[b], j, 0)),
+                         lambda b, i, j, ph: (b, ph[b, 0], j, 0)),
             pl.BlockSpec((1, 1, 1, tile_t),
-                         lambda b, i, j, ph: (b, ph[b], 0, j)),
+                         lambda b, i, j, ph: (b, ph[b, 0], 0, j)),
             pl.BlockSpec((1, tile_t, p3),
                          lambda b, i, j, ph: (b, j, 0)),
         ],
@@ -716,7 +735,10 @@ def nn_match_affine(feat, w, t6_pair, tn_pair, pay3, phase):
 
     feat [B,Nq,16] f32 static per-point features, w [B,16,16] f32
     per-iteration affine (q = feat @ w), targets/payload as packed by
-    ``pack_match_targets``, phase [B] int.
+    ``pack_match_targets``, phase [B,2] int: column 0 the phase flag
+    (0 = SE(3), 1 = R3), column 1 the DONE flag (1 = skip this pair's
+    compute entirely; its outputs are stale garbage for the engine's
+    done-masked carry to discard).
     Returns (idx [B,Nq] int32, d2_shifted [B,Nq] f32, matchedT
     [B,P,Nq] f32 -- the payload rows TRANSPOSED so downstream
     feature-axis reductions run with N on the lanes).  NOTE: d2 omits

@@ -57,7 +57,7 @@ def main():
         jnp.broadcast_to(tgt_a, (BATCH, N, 12)),
         jnp.broadcast_to(tgt_b, (BATCH, N, 12)),
         jnp.broadcast_to(payload, (BATCH, N, 9)))
-    phase = jnp.zeros(BATCH, jnp.int32)
+    phase = jnp.zeros((BATCH, 2), jnp.int32)
 
     match = jax.jit(lambda f, w: pallas_knn.nn_match_affine(
         f, w, t6, tn, pay3, phase))
