@@ -170,17 +170,25 @@ def timed_variant(rep_lists, algorithm, cfg, T_gt, mesh, n_reps,
     if depth is None:
         depth = max(1, int(os.environ.get("BENCH_DEPTH", "1")))
     batch = len(rep_lists[0])
-    results = par.register_pairs(rep_lists[-1], algorithm, cfg, mesh=mesh)
-    if gate:
-        for r in results:
-            assert metrics_host.success(T_gt, r.transformation), (
+
+    def check(results):
+        # T_gt [4,4] gates every pair against one transform; [B,4,4]
+        # gates pair i against T_gt[i] (mixed heterogeneous batches)
+        gts = (T_gt if np.asarray(T_gt).ndim == 3
+               else [T_gt] * len(results))
+        for g, r in zip(gts, results):
+            assert metrics_host.success(g, r.transformation), (
                 f"{algorithm}: benchmark result failed the 2deg/0.25 "
                 "success bound")
+
+    results = par.register_pairs(rep_lists[-1], algorithm, cfg, mesh=mesh)
+    if gate:
+        check(results)
+
     def fetch(pending):
         got = pending.result()
         if gate:
-            for r in got:
-                assert metrics_host.success(T_gt, r.transformation)
+            check(got)
         return got
 
     rep_times = []
@@ -203,8 +211,15 @@ def timed_variant(rep_lists, algorithm, cfg, T_gt, mesh, n_reps,
         t_prev = now
     mean_iters = float(np.mean([r.num_iterations for r in last]))
     mean_pure = float(np.mean([r.num_pure_se3_iterations for r in last]))
+    # per-rep rate spread: the axon tunnel adds real run-to-run
+    # variance, so doc bands must come from the artifact itself
+    # (VERDICT r4 item 9) -- min/median/max over the timed reps
+    stats = {"min_pairs_per_s": batch / float(np.max(rep_times)),
+             "median_pairs_per_s": batch / float(np.median(rep_times)),
+             "max_pairs_per_s": batch / float(np.min(rep_times)),
+             "n_reps": len(rep_times)}
     return (batch / float(np.median(rep_times)),
-            float(np.median(rep_times)), mean_iters, mean_pure)
+            float(np.median(rep_times)), mean_iters, mean_pure, stats)
 
 
 def phase_breakdown(rep_lists, algorithm, cfg, mesh, n_reps):
@@ -228,13 +243,13 @@ def phase_breakdown(rep_lists, algorithm, cfg, mesh, n_reps):
     A dedicated setup-only program (par.setup_checksum_batch) is NOT
     comparable end-to-end here: over the tunnel both programs are
     RTT-dominated and the subtraction goes negative (measured r2)."""
-    _, rep_s_f, full_iters, full_pure = timed_variant(
+    _, rep_s_f, full_iters, full_pure, _ = timed_variant(
         rep_lists, algorithm, cfg, None, mesh, n_reps, gate=False,
         depth=1)
     full_ms = 1000.0 * rep_s_f
     capped = cfg.replace(max_num_iterations=1, max_num_se3_iterations=1,
                          mse=0.0)
-    _, rep_s_c, iters_c, _ = timed_variant(
+    _, rep_s_c, iters_c, _, _ = timed_variant(
         rep_lists, algorithm, capped, None, mesh, n_reps, gate=False,
         depth=1)
     capped_ms = 1000.0 * rep_s_c
@@ -296,7 +311,7 @@ def main():
     prof_ctx = (jax.profiler.trace(profile_dir) if profile_dir
                 else contextlib.nullcontext())
     with prof_ctx:
-        headline, rep_s, mean_iters, mean_pure = timed_variant(
+        headline, rep_s, mean_iters, mean_pure, h_stats = timed_variant(
             rep_lists, "se3_pt2pl", GOLDEN, T_gt, mesh, reps)
 
     out = {
@@ -304,6 +319,10 @@ def main():
         "value": round(headline, 3),
         "unit": "pairs/s",
         "platform": jax.default_backend(),
+        # measured spread over this run's own reps (doc variance bands
+        # cite THIS, not solo runs -- VERDICT r4 item 9)
+        "range": {k: (round(v, 3) if isinstance(v, float) else v)
+                  for k, v in h_stats.items()},
     }
     if degraded:
         out["degraded"] = "tpu unreachable; CPU fallback measurement"
@@ -396,6 +415,39 @@ def main():
         extra("se3_pt2pl_golden_depth4_pairs_per_s",
               lambda: timed_variant(rep_lists, "se3_pt2pl", GOLDEN,
                                     T_gt, mesh, reps, depth=4)[0])
+
+        # heterogeneous batch (VERDICT r4 item 7): golden + moderate +
+        # difficult synthetic pairs share one 4608 bucket but converge
+        # at very different iteration counts, so the converged-pair
+        # skip's refund shows up as a smaller effective iter cost than
+        # the homogeneous headline's
+        def mixed_rate():
+            from se3_icp_tpu.datasets import synthetic
+
+            base_pairs, gts = [], []
+            per = batch // 3
+            for i in range(batch):
+                kind = min(i // max(per, 1), 2)
+                if kind == 0:
+                    base_pairs.append((src, tgt))
+                    gts.append(T_gt)
+                else:
+                    diff = "moderate" if kind == 1 else "difficult"
+                    p = synthetic.synthetic_problem(
+                        diff, 0.005, seed=100 + i)
+                    base_pairs.append((p.source, p.target))
+                    gts.append(p.T_gt)
+            m_gts = np.asarray(gts)
+            # per-rep source jitter: the tunnel replays identical
+            # executions (CLAUDE.md), so every rep must differ
+            m_lists = [[(s + rng.normal(scale=1e-4, size=s.shape), t)
+                        for s, t in base_pairs]
+                       for _ in range(sub_reps + 1)]
+            rate, _, m_iters, _, _ = timed_variant(
+                m_lists, "se3_pt2pl", GOLDEN, m_gts, mesh, sub_reps)
+            extras["mixed_mean_iterations"] = round(m_iters, 2)
+            return rate
+        extra("se3_pt2pl_mixed_pairs_per_s", mixed_rate)
         if not degraded:
             # KITTI-scale: 15k-point partial-overlap clouds, overlap 0.7
             # (skipped on the CPU fallback: a 15k-point O(N^2) NN per

@@ -322,7 +322,10 @@ def _knn_topk_batched(queries, targets, n_targets, k: int, method: str,
     """
     bsz, nq, d = queries.shape
     nt = targets.shape[1]
-    bytes_per = 2 if method == "approx" else 4
+    # both methods materialize the f32 dot/d2 block before any bf16
+    # cast, so peak HBM is 4 bytes/element on the approx path too
+    # (ADVICE r4: a 2-byte budget under-counted peak memory ~2x)
+    bytes_per = 4
     chunk = max(128, _TOPK_BATCH_BUDGET // max(bsz * nt * bytes_per, 1))
     steps = max(1, -(-nq // chunk))
     chunk = -(-(-(-nq // steps)) // 128) * 128  # ceil(nq/steps) to x128
@@ -525,14 +528,17 @@ def pack_match_targets(targets_a, targets_b, payload, n_targets, nq):
 def nn_match_affine(feat, w, t6_pair, tn_pair, pay3, phase):
     """Fused match with the query embedding built in-kernel from
     static per-point features and a per-pair [16,16] affine (TPU only
-    -- guard call sites with ``use_fused_match``).  See
-    pallas_knn.nn_match_affine.  Unbatched calls run as a batch of
-    one."""
+    -- guard call sites with ``use_fused_match``).  Returns
+    (d2_shifted, matchedT) -- no match index; the engine's loop is
+    payload-driven (see pallas_knn.nn_match_affine).  When
+    phase[..,1] == 1 (done flag) the outputs are STALE GARBAGE by
+    contract -- only a done-masked consumer may call with it set.
+    Unbatched calls run as a batch of one."""
     from se3_icp_tpu.ops import pallas_knn
-    idx, d2, matched = pallas_knn.nn_match_affine(
+    d2, matched = pallas_knn.nn_match_affine(
         feat[None], w[None], t6_pair[None], tn_pair[None], pay3[None],
         phase[None])
-    return idx[0], d2[0], matched[0]
+    return d2[0], matched[0]
 
 
 @nn_match_affine.def_vmap
@@ -541,7 +547,7 @@ def _nn_match_affine_vmap_rule(axis_size, in_batched, feat, w, t6_pair,
     from se3_icp_tpu.ops import pallas_knn
     args = [feat, w, t6_pair, tn_pair, pay3, phase]
     args = [_bcast(a, b, axis_size) for a, b in zip(args, in_batched)]
-    return pallas_knn.nn_match_affine(*args), (True, True, True)
+    return pallas_knn.nn_match_affine(*args), (True, True)
 
 
 @jax.custom_batching.custom_vmap

@@ -486,19 +486,20 @@ def nn_match_pallas_batched(queries, targets, payload, n_targets=None):
 # flag removes the per-iteration [B,Nt,12] select, target limb-split,
 # |t|^2 and poison passes entirely (~2.5 ms/iter at batch 64).
 
-def _kernel_match_packed(phase_ref, q_ref, t_ref, tn_ref, pay_ref,
+def _kernel_match_packed(phase_ref, q_ref, t_ref, pay_ref,
                          best_d2_ref, best_idx_ref, best_pay_ref):
     del phase_ref  # consumed by the index maps
     i = pl.program_id(1)
     j = pl.program_id(2)
     tile_t = t_ref.shape[2]
 
-    prod = jax.lax.dot_general(
+    # whole shifted distance -2 q.t + |t|^2 off ONE MXU pass (the tn
+    # limbs ride the K axis against constant-1 query columns)
+    d2 = jax.lax.dot_general(
         q_ref[0], t_ref[0, 0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT)
-    d2 = tn_ref[0, 0] - 2.0 * prod
 
     tile_min = jnp.min(d2, axis=1)
     am = jnp.argmin(d2, axis=1).astype(jnp.int32)
@@ -531,7 +532,7 @@ def _kernel_match_packed(phase_ref, q_ref, t_ref, tn_ref, pay_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_t"))
-def _nn_match_packed_padded(phase, q6, t6_pair, tn_pair, pay3,
+def _nn_match_packed_padded(phase, q6, t6_pair, pay3,
                             tile_q: int, tile_t: int):
     bsz, nq, _ = q6.shape
     nt = t6_pair.shape[2]
@@ -549,8 +550,6 @@ def _nn_match_packed_padded(phase, q6, t6_pair, tn_pair, pay3,
             # prefetched per-pair flag
             pl.BlockSpec((1, 1, tile_t, t6_pair.shape[3]),
                          lambda b, i, j, ph: (b, ph[b], j, 0)),
-            pl.BlockSpec((1, 1, 1, tile_t),
-                         lambda b, i, j, ph: (b, ph[b], 0, j)),
             pl.BlockSpec((1, tile_t, p3),
                          lambda b, i, j, ph: (b, j, 0)),
         ],
@@ -577,7 +576,7 @@ def _nn_match_packed_padded(phase, q6, t6_pair, tn_pair, pay3,
                                       * ni + 4 * nq * (2 + p3)),
             transcendentals=0,
         ),
-    )(phase.astype(jnp.int32), q6, t6_pair, tn_pair, pay3)
+    )(phase.astype(jnp.int32), q6, t6_pair, pay3)
     return (best_idx.reshape(bsz, -1), best_d2.reshape(bsz, -1),
             best_pay)
 
@@ -594,13 +593,11 @@ def _nn_match_packed_padded(phase, q6, t6_pair, tn_pair, pay3,
 # W(R, t, alpha, beta, phase); it computes q = feat @ W and the exact
 # bf16 limb split IN KERNEL, where the intermediates never touch HBM.
 
-def _kernel_match_affine(phase_ref, feat_ref, w_ref, t_ref, tn_ref,
-                         pay_ref, best_d2_ref, best_idx_ref,
-                         best_pay_ref):
+def _kernel_match_affine(phase_ref, feat_ref, w_ref, t_ref,
+                         pay_ref, best_d2_ref, best_pay_ref):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    tile_t = t_ref.shape[2]
 
     # phase_ref [B,2]: column 0 picks the phase block (index maps),
     # column 1 is the pair's DONE flag -- converged pairs skip the
@@ -611,58 +608,62 @@ def _kernel_match_affine(phase_ref, feat_ref, w_ref, t_ref, tn_ref,
     # more under heterogeneous real batches.
     @pl.when(phase_ref[b, 1] == 0)
     def _active():
-        _kernel_match_affine_body(phase_ref, feat_ref, w_ref, t_ref,
-                                  tn_ref, pay_ref, best_d2_ref,
-                                  best_idx_ref, best_pay_ref, i, j,
-                                  tile_t)
+        _kernel_match_affine_body(feat_ref, w_ref, t_ref, pay_ref,
+                                  best_d2_ref, best_pay_ref, i, j)
 
 
-def _kernel_match_affine_body(phase_ref, feat_ref, w_ref, t_ref, tn_ref,
-                              pay_ref, best_d2_ref, best_idx_ref,
-                              best_pay_ref, i, j, tile_t):
-    del phase_ref
+def _kernel_match_affine_body(feat_ref, w_ref, t_ref, pay_ref,
+                              best_d2_ref, best_pay_ref, i, j):
     q = jax.lax.dot_general(
         feat_ref[0], w_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)       # [tile_q, 16] f32
-    # exact 3-limb bf16 split with plain converts (reduce_precision is
-    # not lowerable in-kernel; XLA's excess-precision elision does not
-    # reach inside -- see _kernel_axis)
-    qh = q.astype(jnp.bfloat16)
-    r1 = q - qh.astype(jnp.float32)
+    # exact 3-limb bf16 split of -2q with plain converts
+    # (reduce_precision is not lowerable in-kernel; XLA's
+    # excess-precision elision does not reach inside -- see
+    # _kernel_axis); the -2 scale and the |t|^2 shift ride the dot
+    # itself (three tn limb columns against constant-1 query columns,
+    # r5), so d2 needs no VPU pass at all
+    q2 = -2.0 * q
+    qh = q2.astype(jnp.bfloat16)
+    r1 = q2 - qh.astype(jnp.float32)
     qm = r1.astype(jnp.bfloat16)
     ql = (r1 - qm.astype(jnp.float32)).astype(jnp.bfloat16)
-    q6 = jnp.concatenate([qh, qh, qm, qh, ql, qm], axis=-1)
+    tile_q = q.shape[0]
+    ones = jnp.ones((tile_q, 3), jnp.bfloat16)
+    zpad = jnp.zeros((tile_q, 5), jnp.bfloat16)
+    q6 = jnp.concatenate([qh, qh, qm, qh, ql, qm, ones, zpad], axis=-1)
 
-    prod = jax.lax.dot_general(
+    d2 = jax.lax.dot_general(
         q6, t_ref[0, 0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)
-    d2 = tn_ref[0, 0] - 2.0 * prod
+        precision=jax.lax.Precision.DEFAULT)       # -2 q.t + |t|^2
 
     tile_min = jnp.min(d2, axis=1)
-    am = jnp.argmin(d2, axis=1).astype(jnp.int32)
-    tile_arg = am + j * tile_t
-
-    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    onehot = (col == am[:, None]).astype(jnp.bfloat16)
-    # matched payload emitted TRANSPOSED [3P, tile_q]: the loop-body
+    # r5: the engine's loop is payload-driven -- the match INDEX is
+    # never consumed -- so the argmin/iota chain is gone.  The min-mask
+    # may be multi-hot on exact f32 distance ties; the payload's
+    # trailing ones column counts the ties through the same MXU dot and
+    # the sum is normalized to their average (distinct targets only tie
+    # exactly when co-located, where payload rows coincide anyway).
+    mmask = (d2 <= tile_min[:, None]).astype(jnp.bfloat16)
+    # matched payload emitted TRANSPOSED [3(P+1), tile_q]: the loop-body
     # consumers (distance norms, pt2pl residual/Jacobian) reduce over
     # the small feature axis, so a [P, N] layout keeps their minor dim
     # at N (full lanes) instead of P (~90% wasted vectors)
     pay3 = jax.lax.dot_general(
-        pay_ref[0], onehot, dimension_numbers=(((0,), (1,)), ((), ())),
+        pay_ref[0], mmask, dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)      # [3P, tile_q]
-    p_w = pay3.shape[0] // 3
-    pay = pay3[:p_w] + pay3[p_w:2 * p_w] + pay3[2 * p_w:]
+        precision=jax.lax.Precision.DEFAULT)      # [3(P+1), tile_q]
+    p_w1 = pay3.shape[0] // 3
+    pay = pay3[:p_w1] + pay3[p_w1:2 * p_w1] + pay3[2 * p_w1:]
+    pay = pay[:p_w1 - 1] * (1.0 / pay[p_w1 - 1:])  # tie-average
 
     @pl.when(j == 0)
     def _init():
         best_d2_ref[0, i, :] = tile_min
-        best_idx_ref[0, i, :] = tile_arg
         best_pay_ref[0, :, :] = pay
 
     @pl.when(j != 0)
@@ -670,19 +671,17 @@ def _kernel_match_affine_body(phase_ref, feat_ref, w_ref, t_ref, tn_ref,
         cur = best_d2_ref[0, i, :]
         better = tile_min < cur
         best_d2_ref[0, i, :] = jnp.where(better, tile_min, cur)
-        best_idx_ref[0, i, :] = jnp.where(better, tile_arg,
-                                          best_idx_ref[0, i, :])
         best_pay_ref[0, :, :] = jnp.where(better[None, :], pay,
                                           best_pay_ref[0, :, :])
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_t"))
-def _nn_match_affine_padded(phase, feat, w, t6_pair, tn_pair, pay3,
+def _nn_match_affine_padded(phase, feat, w, t6_pair, pay3,
                             tile_q: int, tile_t: int):
     bsz, nqp, fdim = feat.shape
     nt = t6_pair.shape[2]
     p3 = pay3.shape[2]
-    p_w = p3 // 3
+    p_w = p3 // 3 - 1          # payload width sans the tie-count column
     ni = nqp // tile_q
     grid = (bsz, ni, nt // tile_t)
 
@@ -696,25 +695,21 @@ def _nn_match_affine_padded(phase, feat, w, t6_pair, tn_pair, pay3,
                          lambda b, i, j, ph: (b, 0, 0)),
             pl.BlockSpec((1, 1, tile_t, t6_pair.shape[3]),
                          lambda b, i, j, ph: (b, ph[b, 0], j, 0)),
-            pl.BlockSpec((1, 1, 1, tile_t),
-                         lambda b, i, j, ph: (b, ph[b, 0], 0, j)),
             pl.BlockSpec((1, tile_t, p3),
                          lambda b, i, j, ph: (b, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, ni, tile_q), lambda b, i, j, ph: (b, 0, 0)),
-            pl.BlockSpec((1, ni, tile_q), lambda b, i, j, ph: (b, 0, 0)),
             pl.BlockSpec((1, p_w, tile_q),
                          lambda b, i, j, ph: (b, 0, i)),
         ],
     )
-    best_d2, best_idx, best_pay = pl.pallas_call(
+    best_d2, best_pay = pl.pallas_call(
         _kernel_match_affine,
         grid_spec=spec,
         interpret=_interpret(),
         out_shape=[
             jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, ni, tile_q), jnp.int32),
             jax.ShapeDtypeStruct((bsz, p_w, nqp), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -724,9 +719,8 @@ def _nn_match_affine_padded(phase, feat, w, t6_pair, tn_pair, pay3,
                                       * ni + 4 * nqp * (2 + p3)),
             transcendentals=0,
         ),
-    )(phase.astype(jnp.int32), feat, w, t6_pair, tn_pair, pay3)
-    return (best_idx.reshape(bsz, -1), best_d2.reshape(bsz, -1),
-            best_pay)
+    )(phase.astype(jnp.int32), feat, w, t6_pair, pay3)
+    return best_d2.reshape(bsz, -1), best_pay
 
 
 def nn_match_affine(feat, w, t6_pair, tn_pair, pay3, phase):
@@ -735,36 +729,51 @@ def nn_match_affine(feat, w, t6_pair, tn_pair, pay3, phase):
 
     feat [B,Nq,16] f32 static per-point features, w [B,16,16] f32
     per-iteration affine (q = feat @ w), targets/payload as packed by
-    ``pack_match_targets``, phase [B,2] int: column 0 the phase flag
+    ``pack_match_targets`` (tn_pair unused -- the tn limbs ride inside
+    t6_pair since r5), phase [B,2] int: column 0 the phase flag
     (0 = SE(3), 1 = R3), column 1 the DONE flag (1 = skip this pair's
-    compute entirely; its outputs are stale garbage for the engine's
-    done-masked carry to discard).
-    Returns (idx [B,Nq] int32, d2_shifted [B,Nq] f32, matchedT
-    [B,P,Nq] f32 -- the payload rows TRANSPOSED so downstream
-    feature-axis reductions run with N on the lanes).  NOTE: d2 omits
-    the +|q|^2 shift (argmin-equivalent; the engine discards it).
+    compute entirely; ALL outputs are then stale garbage -- only the
+    engine's done-masked carry may consume them; see registration.py).
+    Returns (d2_shifted [B,Nq] f32, matchedT [B,P,Nq] f32 -- the
+    payload rows TRANSPOSED so downstream feature-axis reductions run
+    with N on the lanes).  NOTE: d2 omits the +|q|^2 shift
+    (argmin-equivalent; the engine discards it), and the match INDEX
+    is not produced at all -- the engine's loop is payload-driven, so
+    the argmin/iota/one-hot index chain was removed from the hot
+    kernel (r5; exact-tie payloads average, see _kernel_match_affine).
     """
+    del tn_pair
     bsz, nq, fdim = feat.shape
     ntp = t6_pair.shape[2]
     tile_q, tile_t = _pick_tiles(nq, ntp)
     featp = jnp.pad(feat.astype(jnp.float32),
                     ((0, 0), (0, (-nq) % tile_q), (0, 0)))
-    idx, d2, matched_t = _nn_match_affine_padded(
-        phase, featp, w.astype(jnp.float32), t6_pair, tn_pair, pay3,
+    d2, matched_t = _nn_match_affine_padded(
+        phase, featp, w.astype(jnp.float32), t6_pair, pay3,
         tile_q, tile_t)
-    return (idx[:, :nq], d2[:, :nq],
-            matched_t[:, :, :nq].astype(feat.dtype))
+    return d2[:, :nq], matched_t[:, :, :nq].astype(feat.dtype)
 
 
 def pack_match_targets(targets_a, targets_b, payload, n_targets, nq):
     """Pre-pack BOTH phase variants of the target embedding + the
-    (phase-independent) payload for ``nn_match_packed``.
+    (phase-independent) payload for ``nn_match_affine`` /
+    ``nn_match_packed``.
 
     targets_* [Nt,D] f32 (unbatched; vmap-compatible), payload [Nt,P],
     n_targets scalar, nq static query count (tile selection).
-    Returns (t6_pair [2,Ntp,6dp] bf16, tn_pair [2,1,Ntp] f32,
-    pay3 [Ntp,3P] bf16).
-    """
+    Returns (t6_pair [2,Ntp,6dp+8] bf16, tn_pair [2,1,Ntp] f32,
+    pay3 [Ntp,3(P+1)] bf16).
+
+    r5 layout: |t|^2 rides INSIDE the limb pack as three extra bf16
+    limb columns (paired with constant-1 query columns), so the match
+    kernels read the whole shifted distance  -2 q.t + |t|^2  off one
+    MXU pass with no VPU shift pass; the returned ``tn_pair`` is kept
+    only for checksums/oracles.  The payload gains a trailing
+    ones column: the affine kernel contracts its min-mask against it
+    to count exact distance ties and normalize the summed payload
+    (ties average instead of picking the lowest index; exact f32
+    distance ties between distinct targets only occur for duplicate
+    points, where the payload rows coincide anyway)."""
     nt, dim = targets_a.shape
     dp = max(_D_PAD, -(-dim // 8) * 8)
     tile_q, tile_t = _pick_tiles(nq, nt)
@@ -776,36 +785,54 @@ def pack_match_targets(targets_a, targets_b, payload, n_targets, nq):
         tp = jnp.where((row < n_targets)[:, None], tp, _POISON)
         tn = jnp.sum(tp * tp, axis=-1)[None, :]
         _, t6 = _pack_nn_operands(jnp.zeros_like(tp), tp)
+        tnh, tnm, tnl = _split3_limbs(tn)
+        zpad = jnp.zeros((t6.shape[0], 5), jnp.bfloat16)
+        t6 = jnp.concatenate([t6, tnh.T, tnm.T, tnl.T, zpad], axis=-1)
         return t6, tn
     t6a, tna = prep(targets_a)
     t6b, tnb = prep(targets_b)
 
-    p = payload.shape[1]
     payp = jnp.pad(payload.astype(jnp.float32),
                    ((0, (-nt) % tile_t), (0, 0)))
+    payp = jnp.concatenate(
+        [payp, jnp.ones((payp.shape[0], 1), jnp.float32)], axis=-1)
     ph, pm, plo = _split3_limbs(payp)
     pay3 = jnp.concatenate([ph, pm, plo], axis=-1)
-    del p
     return (jnp.stack([t6a, t6b]), jnp.stack([tna, tnb]), pay3)
+
+
+def _pack_query_shifted(qp):
+    """Query-side companion of the r5 target layout: limbs of -2q plus
+    three constant-1 columns (multiplying the tn limbs) and zero pad,
+    so  q6' . t6' = -2 q.t + |t|^2  off one MXU pass.  Any leading
+    batch dims."""
+    q6, _ = _pack_nn_operands(-2.0 * qp, jnp.zeros_like(qp))
+    lead = q6.shape[:-1]
+    ones = jnp.ones(lead + (3,), jnp.bfloat16)
+    zpad = jnp.zeros(lead + (5,), jnp.bfloat16)
+    return jnp.concatenate([q6, ones, zpad], axis=-1)
 
 
 def nn_match_packed(queries, t6_pair, tn_pair, pay3, phase):
     """Batched fused match against pre-packed dual-phase targets.
 
-    queries [B,Nq,D] f32, t6_pair [B,2,Ntp,6dp] bf16,
-    tn_pair [B,2,1,Ntp] f32, pay3 [B,Ntp,3P] bf16, phase [B] int
-    (0 = phase A, 1 = phase B) -> (idx, d2, matched [B,Nq,P]).
+    queries [B,Nq,D] f32, t6_pair [B,2,Ntp,6dp+8] bf16 (tn limbs
+    inside, see ``pack_match_targets``), tn_pair [B,2,1,Ntp] f32
+    (unused here; kept for checksums/oracles), pay3 [B,Ntp,3(P+1)]
+    bf16, phase [B] int (0 = phase A, 1 = phase B) ->
+    (idx, d2, matched [B,Nq,P]).
     """
+    del tn_pair
     bsz, nq, dim = queries.shape
     nt = t6_pair.shape[2]
-    p_width = pay3.shape[2] // 3
+    p_width = pay3.shape[2] // 3 - 1
     dp = max(_D_PAD, -(-dim // 8) * 8)
     tile_q, tile_t = _pick_tiles(nq, nt)
     qp = jnp.pad(queries.astype(jnp.float32),
                  ((0, 0), (0, (-nq) % tile_q), (0, dp - dim)))
-    q6, _ = _pack_nn_operands(qp, jnp.zeros_like(qp))
+    q6 = _pack_query_shifted(qp)
     idx, d2, matched = _nn_match_packed_padded(
-        phase, q6, t6_pair, tn_pair, pay3, tile_q, tile_t)
+        phase, q6, t6_pair, pay3, tile_q, tile_t)
     qn = jnp.sum(qp[:, :nq] * qp[:, :nq], axis=-1)
     return (idx[:, :nq], (d2[:, :nq] + qn).astype(queries.dtype),
             matched[:, :nq, :p_width].astype(queries.dtype))

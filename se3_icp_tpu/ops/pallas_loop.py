@@ -43,11 +43,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from se3_icp_tpu.ops import eigh3
+from se3_icp_tpu.ops import eigh3, trim
 from se3_icp_tpu.ops.pallas_knn import _interpret
 
 _BIG = 3.4e38
-_VSTEPS = 26  # == trim._STEPS: value-bisection halvings on f32 distances
+# value-bisection halvings on f32 distances: imported so the fused
+# epilogue stays bracket-identical with the XLA trim by construction
+_VSTEPS = trim._STEPS
 
 # pf row layout (per-pair iteration scalars, one [24] f32 vector)
 PF_T = 0          # 0:3   translation

@@ -265,7 +265,12 @@ def pack_cloud_batched(points, n_valid):
     ntp = steps * tile_t
     pp = _poison_pack(points, n_valid, ntp)
     ppt = jnp.swapaxes(pp, 1, 2)                  # [B,3,Ntp], once
-    nqp = -(-n // 256) * 256
+    # 512-aligned so the thresholds kernel's 512-wide query tiles
+    # divide it (r5: tile_q 512 measured 7.6 vs 9.4 ms per 64-cloud
+    # call at 256 -- per-tile fixed work halves and the [1, tile_q]
+    # probe rows fill all lanes); the moments/axis tile pickers only
+    # need 256-divisibility, which 512-aligned implies
+    nqp = -(-n // 512) * 512
     qp = jnp.pad(points.astype(jnp.float32),
                  ((0, 0), (0, nqp - n), (0, 0)))
     qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, 5)))
@@ -392,37 +397,79 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
 #      perturbation class as the old recall-0.8 approx kNN, but in the
 #      geometrically cleaner direction (the mask consumers see a true
 #      distance ball of ALL points inside, not a random subset).
-#   2. bisection: per requested count, ~24 halving steps on the
-#      VMEM-resident candidates converge to the c-th candidate value
-#      (count(thr) >= c from above).  No sort anywhere.
+#   2. rank search: per requested count, a short probe loop on the
+#      VMEM-resident candidates converges to a value whose candidate
+#      count is the requested rank (count(thr) >= c, within ~+2).
+#      No sort anywhere.
 #
-# Counts are self-inclusive (d2=0 always passes) and pre-clamped to
-# n_valid by the wrapper; rows with fewer valid points than the count
-# converge to the bracket top = all valid points, matching the old
-# sentinel-threshold behavior.
+# The r5 rank-search redesign (replacing r3's 24/18-step pure value
+# bisection -- 60 sequential VPU count-reduces per tile, the largest
+# remaining setup cost at 23.8 ms/batch, VERDICT r4 item 1) exploits
+# that every consumer needs MEMBERSHIP exactness, not threshold-value
+# precision: any value between adjacent candidate ranks is equally
+# correct.  Three accelerations, prototyped against adversarial cloud
+# families (multi-scale clusters, plateaus, duplicate points, far
+# queries) for worst-case count error:
+#
+#   * guaranteed bracket seeds: max-over-groups of group-minima.  For
+#     any partition into G groups, every group's min <= that value, so
+#     its candidate count is >= G -- a valid upper bracket for every
+#     target <= G, computed in ~1 probe's cost for the whole {256,128,
+#     64,32}-group hierarchy.  This collapses the initial bracket from
+#     the full candidate range to ~the target's own distance scale
+#     (multi-decade plateau cases converge instantly).
+#   * probe rotation S-B-G-B: rank-secant in d^3 space (a power-law
+#     local-density model: count ~ r^3), arithmetic bisection
+#     (guaranteed value progress), geometric bisection (crosses
+#     multi-decade value plateaus), bisection.
+#   * cross-updated brackets: every probe's count refines the brackets
+#     of ALL requested ranks, so later (smaller) counts start nearly
+#     converged -- the descending sort below makes this systematic.
+#
+# Default plan: 16 probes for the largest count, 8 / 5 / 8... for the
+# rest = 29 sequential count-reduces for the TOLDI count set vs 60
+# before, with prototype worst-case count error <= +2 on uniform
+# clouds (the unit-test bound) and small single digits on the
+# adversarial families.  SE3_ICP_TPU_THR_PLAN="a,b,c,..." overrides.
+#
+# Counts are self-inclusive (d2=0 always passes), pre-clamped to
+# n_valid by the wrapper, and sorted DESCENDING (the wrapper
+# un-permutes the output rows); rows with fewer valid points than the
+# count converge to the bracket top = all valid points, matching the
+# old sentinel-threshold behavior.
 
 _CAND = 512          # candidate lanes (multiple of 128)
-_BISECT_STEPS = 24
-_BISECT_STEPS_CHAINED = 18   # after the first count (chained bracket)
 _T_PAD = 8           # threshold-count padding (lane alignment)
+_THR_PLAN = (16, 9, 6)   # probes per DESC-sorted count (then 8 each)
 
 
-def _kernel_thresholds(t_real, counts_ref, hib_ref, q6_ref, t6_ref,
-                       tn_ref, qn_ref, out_ref):
-    """Candidate fold + per-count bisection, laid out TRANSPOSED:
-    cand is [_CAND, tile_q] so the per-step membership count reduces
+def _thr_plan(t_real: int) -> tuple:
+    import os
+    env = os.environ.get("SE3_ICP_TPU_THR_PLAN")
+    base = (tuple(int(x) for x in env.split(",")) if env else _THR_PLAN)
+    return tuple(base[t] if t < len(base) else 8 for t in range(t_real))
+
+
+def _kernel_thresholds(t_real, plan, counts_ref, hib_ref, q6_ref,
+                       t6_ref, tn_ref, qn_ref, out_ref):
+    """Candidate fold + seeded multi-rank search, laid out TRANSPOSED:
+    cand is [_CAND, tile_q] so the per-probe membership count reduces
     over SUBLANES (vectorized row adds with every lane busy) instead of
     across lanes -- the cross-lane reduce in the original layout made
-    the 24x3-step bisection pure-VPU bound (~21 ms per 128-cloud batch
-    on v5e).  Counting stays f32: a bf16 variant was ~2x cheaper still
-    but its 0.4% value quantization adds +-3 boundary members vs the
-    +-2 exactness the count tests pin."""
+    the probe loop pure-VPU bound.  Counting stays f32: a bf16 variant
+    was ~2x cheaper still but its 0.4% value quantization adds +-3
+    boundary members vs the +-2 exactness the count tests pin."""
     b = pl.program_id(0)
     tile_q = q6_ref.shape[1]
     ntp = t6_ref.shape[1]
     q6 = q6_ref[0]                                 # [tile_q, 6dp] bf16
 
     def fold(s, cand):
+        # NOTE r5: folding the tn/-2 shift into the dot as +8 limb
+        # columns (K 48 -> 56) measured the fold ~2x SLOWER on v5e
+        # (fixed cost 4.0 -> 7.7 ms per 64-cloud call) -- the K=48 bf16
+        # contraction lowers on an exact pass boundary.  The VPU shift
+        # stays.
         t6 = t6_ref[0, pl.ds(s * _CAND, _CAND), :]
         tn = tn_ref[0, 0, pl.ds(s * _CAND, _CAND)]
         prod = jax.lax.dot_general(
@@ -444,48 +491,76 @@ def _kernel_thresholds(t_real, counts_ref, hib_ref, q6_ref, t6_ref,
     lo0 = jnp.min(cand, axis=0, keepdims=True)     # [1, tile_q]
     hi0 = jnp.max(cand, axis=0, keepdims=True)
 
-    rows = []
-    prev_hi = None
+    # guaranteed bracket seeds: max over G groups of group minima has
+    # candidate count >= G (every group contributes a member <= it);
+    # contiguous-half folding is a valid partition at every level
+    m = jnp.minimum(cand[:256], cand[256:])
+    seeds = []                                     # [(value, G)]
+    for g in (256, 128, 64, 32):
+        seeds.append((jnp.max(m, axis=0, keepdims=True), g))
+        if g > 32:
+            h = g // 2
+            m = jnp.minimum(m[:h], m[h:])
+
+    # SMEM allows scalar loads only: one per DESC-sorted count row
+    tg = jnp.concatenate([jnp.full((1, tile_q), counts_ref[b, t])
+                          for t in range(t_real)], axis=0)  # [T, tq]
+    los = jnp.broadcast_to(lo0, (t_real, tile_q))
+    cls = jnp.ones((t_real, tile_q), jnp.float32)
+    his = jnp.broadcast_to(hi0, (t_real, tile_q))
+    chs = jnp.full((t_real, tile_q), float(_CAND))
+    for sv, g in seeds:                            # deepest valid seed
+        ok = (tg <= float(g)) & (sv < his)
+        his = jnp.where(ok, sv, his)
+        chs = jnp.where(ok, float(g), chs)
+    chs = jnp.maximum(chs, tg + 1.0)
+
     for t in range(t_real):
-        tgt = counts_ref[b, t]
+        tgt_row = tg[t][None, :]                   # [1, tile_q]
 
-        def step(_, lh):
-            lo, hi = lh
-            mid = 0.5 * (lo + hi)                  # [1, tile_q] f32
-            cnt = jnp.sum((cand <= mid).astype(jnp.float32), axis=0,
+        def step(s, carry):
+            los, cls, his, chs = carry
+            lo, cl = los[t][None, :], cls[t][None, :]
+            hi, ch = his[t][None, :], chs[t][None, :]
+            dlt = hi - lo
+            # LINEAR rank-secant (the d^3 power-law variant measured
+            # within noise of this on the adversarial prototype but its
+            # in-kernel exp/log nearly doubled the per-probe VPU cost)
+            fr = jnp.clip((tgt_row - cl) / jnp.maximum(ch - cl, 1.0),
+                          0.02, 0.98)
+            ps = lo + fr * dlt
+            # geometric bisection (multi-decade plateaus)
+            pg = jnp.sqrt(jnp.maximum(lo, hi * 1e-9) * hi)
+            pb = lo + 0.5 * dlt                    # arithmetic
+            r = jax.lax.rem(s, 4)
+            probe = jnp.where(r == 0, ps, jnp.where(r == 2, pg, pb))
+            cnt = jnp.sum((cand <= probe).astype(jnp.float32), axis=0,
                           keepdims=True)
-            pred = cnt >= tgt
-            return (jnp.where(pred, lo, mid), jnp.where(pred, mid, hi))
+            # cross-update every rank's bracket from this probe
+            pred = cnt >= tg
+            take_hi = pred & (probe < his)
+            take_lo = (~pred) & (probe > los)
+            return (jnp.where(take_lo, probe, los),
+                    jnp.where(take_lo, cnt, cls),
+                    jnp.where(take_hi, probe, his),
+                    jnp.where(take_hi, cnt, chs))
 
-        if t == 0:
-            hi_s, steps = hi0, _BISECT_STEPS
-        else:
-            # chained bracket: when counts arrive DESCENDING (the
-            # engine sorts them), the previous threshold is a valid,
-            # far tighter upper bracket -- count(thr_prev) >= tgt_prev
-            # >= tgt -- so fewer halvings reach the same absolute
-            # resolution (thr_prev * 2^-18 beats diameter * 2^-24).
-            # Non-descending callers fall back to the full bracket at
-            # the reduced step count (resolution diameter * 2^-18,
-            # still below inter-rank gaps at the tested cloud sizes).
-            hi_s = jnp.where(counts_ref[b, t - 1] >= tgt, prev_hi, hi0)
-            steps = _BISECT_STEPS_CHAINED
-        _, hi = jax.lax.fori_loop(0, steps, step, (lo0, hi_s))
-        prev_hi = hi
-        rows.append(hi)
-    rows.extend([jnp.zeros((1, tile_q), jnp.float32)]
-                * (_T_PAD - t_real))
-    out_ref[0] = jnp.concatenate(rows, axis=0)     # [_T_PAD, tile_q]
+        los, cls, his, chs = jax.lax.fori_loop(
+            0, plan[t], step, (los, cls, his, chs))
+
+    out_ref[0] = jnp.concatenate(
+        [his] + [jnp.zeros((_T_PAD - t_real, tile_q), jnp.float32)],
+        axis=0)                                    # [_T_PAD, tile_q]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_q", "t_real"))
+@functools.partial(jax.jit, static_argnames=("tile_q", "t_real", "plan"))
 def _thresholds_padded(counts, hib, q6, t6, tn, qn, tile_q: int,
-                       t_real: int):
+                       t_real: int, plan: tuple):
     bsz, nqp, _ = q6.shape
     ntp = t6.shape[1]
     grid = (bsz, nqp // tile_q)
     return pl.pallas_call(
-        functools.partial(_kernel_thresholds, t_real),
+        functools.partial(_kernel_thresholds, t_real, plan),
         grid=grid,
         interpret=_interpret(),
         in_specs=[
@@ -501,7 +576,7 @@ def _thresholds_padded(counts, hib, q6, t6, tn, qn, tile_q: int,
         out_shape=jax.ShapeDtypeStruct((bsz, _T_PAD, nqp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * nqp * ntp * (q6.shape[2]
-                                         + 2 * _T_PAD * _BISECT_STEPS
+                                         + 2 * sum(plan)
                                          * _CAND // ntp),
             bytes_accessed=2 * bsz * (nqp * q6.shape[2]
                                       + ntp * t6.shape[2]
@@ -533,10 +608,10 @@ def neighborhood_thresholds_batched(points, n_valid, counts,
     nq = q_pts.shape[1]
     t_n = counts.shape[1]
     import os
-    tile_q = int(os.environ.get("SE3_ICP_TPU_THR_TILE_Q", "256"))
+    tile_q = int(os.environ.get("SE3_ICP_TPU_THR_TILE_Q", "512"))
     if packed is not None and queries is None:
         _, q6, t6, tn, qn, _, _ = packed
-        while tile_q > 256 and qn.shape[1] % tile_q:
+        while tile_q > 128 and qn.shape[1] % tile_q:
             tile_q //= 2
     else:
         pp = _poison_pack(points, n_valid, _CAND)
@@ -559,13 +634,21 @@ def neighborhood_thresholds_batched(points, n_valid, counts,
 
     cc = jnp.minimum(counts.astype(jnp.int32),
                      n_valid[:, None].astype(jnp.int32))
+    # sort DESCENDING per row so the kernel's cross-updated brackets
+    # and per-phase probe plan always see largest-rank-first (the
+    # output rows are un-permuted back to caller order below)
+    order = jnp.argsort(-cc, axis=1, stable=True)
+    cc = jnp.take_along_axis(cc, order, axis=1)
     cc = jnp.pad(cc, ((0, 0), (0, _T_PAD - t_n)),
                  constant_values=1).astype(jnp.float32)
-    out = _thresholds_padded(cc, hib, q6, t6, tn, qn, tile_q, t_n)
+    out = _thresholds_padded(cc, hib, q6, t6, tn, qn, tile_q, t_n,
+                             _thr_plan(t_n))
     # the kernel's native [B, T, Nqp] layout (transposed for the
-    # sublane-reduce bisection; un-shifted in-kernel) IS the consumer
+    # sublane-reduce counting; un-shifted in-kernel) IS the consumer
     # layout: every downstream user wants [Nq]-wide threshold rows
-    return out[:, :t_n, :nq]
+    inv = jnp.argsort(order, axis=1, stable=True)
+    return jnp.take_along_axis(out[:, :t_n, :nq], inv[:, :, None],
+                               axis=1)
 
 
 def axis_sums_batched(points, n_valid, normal_t, ndotq, radius, thr_all,

@@ -283,8 +283,13 @@ def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
     if voxel <= 0 or len(pts) == 0:
         return pts
     keys = np.floor((pts - pts.min(axis=0)) / voxel).astype(np.int64)
-    # unique voxel ids via lexicographic encode (ranges are bounded by
-    # the scan extent / voxel, far below 2**21 per axis)
+    if keys.max(initial=0) >= 2 ** 21:
+        # 21-bit-per-axis packing would alias distinct voxels (ADVICE
+        # r4): a voxel this small relative to the extent implies a
+        # mis-scaled argument for sensor data
+        raise ValueError(
+            f"voxel {voxel} too small for cloud extent: "
+            f"{keys.max()} bins on one axis (max {2 ** 21 - 1})")
     kid = (keys[:, 0] << 42) | (keys[:, 1] << 21) | keys[:, 2]
     order = np.argsort(kid, kind="stable")
     kid_s = kid[order]

@@ -75,6 +75,73 @@ def test_engine_tpu_trace_trimmed_interpret(monkeypatch):
         res_x[0].transformation[:3, :3]) < 0.5
 
 
+def _small_problem(seed, depth_shift=False):
+    """~1k-point bunny problem (interpret mode is slow; the full trace
+    still covers every kernel at this size).  ``depth_shift`` scales
+    into an RGB-D-plausible depth range for the with_cf confidence
+    model (mirrors tests/test_registration_e2e.py::test_se3_gicp_with_cf)."""
+    rng = np.random.default_rng(seed)
+    bunny = synthetic.load_bunny()
+    src = synthetic.random_downsample(bunny, 0.005, rng)
+    t = rng.uniform(-0.5, 0.5, 3)
+    R = synthetic._rot_3d(*rng.uniform(-0.3, 0.3, 3))
+    T = np.eye(4)
+    T[:3, :3], T[:3, 3] = R, t
+    if depth_shift:
+        src = src * 0.1
+        src[:, 2] += 2.0
+        T[:3, 3] *= 0.1
+    tgt = src @ T[:3, :3].T + T[:3, 3]
+    return src, tgt, T
+
+
+# every driver variant through the FULL forced-Pallas trace (VERDICT r4
+# item 5): the fused epilogue's estimator reductions (pt2pt Umeyama
+# moments, pt2pl JtJ, gicp in-kernel Cardano inverse-sqrt, with_cf
+# confidence weighting) each gate end-to-end, with an XLA-route
+# cross-check.  Caps are unique per row: the jit cache keys on static
+# config, not the env gates.  Match: driver variants ref:cpp:473-1128.
+import pytest
+
+
+@pytest.mark.parametrize(
+    "alg,cap,cfg_kw,cross_tol",
+    [("pt2pt", 51, {}, 1e-3),                      # run_icp, ref:cpp:473
+     ("gicp", 52, {}, 1e-3),                       # in-kernel Cardano
+     ("se3_pt2pt", 53, {}, 0.5),
+     ("se3_gicp", 54, {"estimated_overlap": 0.9}, 0.5),
+     ("se3_gicp_with_cf", 55, {"estimated_overlap": 0.9}, 0.5),
+     ("se3_pure_pt2pl", 56,
+      {"alpha_rot": 0.1, "max_num_se3_iterations": 30}, 0.5)])
+def test_engine_all_modes_full_trace_interpret(monkeypatch, alg, cap,
+                                               cfg_kw, cross_tol):
+    from se3_icp_tpu.parallel import pairs as par
+
+    src, tgt, T_gt = _small_problem(seed=60 + cap,
+                                    depth_shift=alg.endswith("with_cf"))
+    kw = dict(cfg_kw)
+    cfg = RegistrationConfig(number_of_nn_for_lrf=90,
+                             max_num_iterations=cap,
+                             max_num_se3_iterations=kw.pop(
+                                 "max_num_se3_iterations", 7),
+                             **kw)
+    monkeypatch.setenv("SE3_ICP_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("SE3_ICP_TPU_PALLAS_INTERPRET", "1")
+    res_t = par.register_pairs([(src, tgt)], alg, cfg)
+    monkeypatch.delenv("SE3_ICP_TPU_FORCE_PALLAS")
+    monkeypatch.delenv("SE3_ICP_TPU_PALLAS_INTERPRET")
+    res_x = par.register_pairs(
+        [(src, tgt)], alg, cfg.replace(max_num_iterations=cap + 49))
+    assert metrics_host.success(T_gt, res_t[0].transformation), alg
+    assert metrics_host.success(T_gt, res_x[0].transformation), alg
+    assert metrics_host.angular_error_so3(
+        res_t[0].transformation[:3, :3],
+        res_x[0].transformation[:3, :3]) < cross_tol, alg
+    assert np.linalg.norm(res_t[0].transformation[:3, 3]
+                          - res_x[0].transformation[:3, 3]) < (
+        0.05 if cross_tol >= 0.5 else 1e-3), alg
+
+
 def test_golden_headline_program_interpret(monkeypatch):
     """The HEADLINE program (golden protocol clouds, GOLDEN config)
     through the full TPU trace on CPU: the same accuracy gate the

@@ -76,6 +76,72 @@ def test_nn_match_payload_interpret():
         np.testing.assert_array_equal(matched[b], pay[b, idx[b]])
 
 
+def test_nn_match_affine_interpret():
+    """The affine-factored hot kernel (r5 form): q = feat @ W built
+    in-kernel, tn limbs inside the dot, NO index output -- returns
+    (d2_shifted, matchedT) with matchedT[b,:,q] == pay[b, argmin, :]
+    and ties averaged via the ones-column count."""
+    rng = np.random.default_rng(7)
+    B, Nq, Nt, P = 2, 64, 120, 9
+    feat = rng.normal(size=(B, Nq, 16)).astype(np.float32)
+    w = (rng.normal(size=(B, 16, 16)) * 0.3).astype(np.float32)
+    t_a = rng.normal(size=(B, Nt, 12)).astype(np.float32)
+    t_b = t_a.copy()
+    t_b[:, :, :9] = 0.0
+    pay = (rng.normal(size=(B, Nt, P)) * 13.0).astype(np.float32)
+    n_t = np.asarray([Nt, 90], np.int32)
+    phase = np.asarray([[0, 0], [1, 0]], np.int32)
+
+    packed = jax.vmap(pk.pack_match_targets, in_axes=(0, 0, 0, 0, None))(
+        jnp.asarray(t_a), jnp.asarray(t_b), jnp.asarray(pay),
+        jnp.asarray(n_t), Nq)
+    with pltpu.force_tpu_interpret_mode():
+        d2, matched_t = pk.nn_match_affine(
+            jnp.asarray(feat), jnp.asarray(w), *packed,
+            jnp.asarray(phase))
+    d2 = np.asarray(d2)
+    matched_t = np.asarray(matched_t)
+    assert matched_t.shape == (B, P, Nq)
+    q = np.einsum("bqf,bfk->bqk", feat, w)[:, :, :12]
+    for b, t_sel in ((0, t_a[0]), (1, t_b[1])):
+        ei, ed = _exact_nn(q[b], t_sel, int(n_t[b]))
+        qn = (q[b].astype(np.float64) ** 2).sum(-1)
+        np.testing.assert_allclose(d2[b] + qn, ed, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(matched_t[b].T, pay[b, ei],
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_nn_match_affine_tie_average_interpret():
+    """Exactly tied targets: the min-mask payload contraction averages
+    the tied rows (documented r5 contract)."""
+    rng = np.random.default_rng(8)
+    B, Nq, Nt, P = 1, 8, 16, 4
+    feat = np.zeros((B, Nq, 16), np.float32)
+    feat[:, :, 9:12] = rng.normal(size=(B, Nq, 3))
+    feat[:, :, 12] = 1.0
+    w = np.zeros((B, 16, 16), np.float32)
+    w[:, 9, 9] = w[:, 10, 10] = w[:, 11, 11] = 1.0
+    t_b = np.zeros((B, Nt, 12), np.float32)
+    t_b[:, :, 9:12] = rng.normal(size=(B, Nt, 3))
+    t_b[0, 1, 9:12] = t_b[0, 0, 9:12]        # duplicate of target 0
+    pay = rng.normal(size=(B, Nt, P)).astype(np.float32)
+    # force every query to match target 0/1 (far-away others)
+    t_b[0, 2:, 9:12] += 100.0
+    feat[0, :, 9:12] = t_b[0, 0, 9:12] + 1e-3 * rng.normal(size=(Nq, 3))
+    n_t = np.asarray([Nt], np.int32)
+    phase = np.asarray([[1, 0]], np.int32)
+    packed = jax.vmap(pk.pack_match_targets, in_axes=(0, 0, 0, 0, None))(
+        jnp.asarray(t_b), jnp.asarray(t_b), jnp.asarray(pay),
+        jnp.asarray(n_t), Nq)
+    with pltpu.force_tpu_interpret_mode():
+        _, matched_t = pk.nn_match_affine(
+            jnp.asarray(feat), jnp.asarray(w), *packed,
+            jnp.asarray(phase))
+    avg = 0.5 * (pay[0, 0] + pay[0, 1])
+    np.testing.assert_allclose(np.asarray(matched_t)[0].T,
+                               np.broadcast_to(avg, (Nq, P)), rtol=1e-5)
+
+
 def test_nn_match_packed_dual_phase_interpret():
     """Pre-packed dual-phase targets: the scalar-prefetched phase flag
     must route each batch entry to its own target embedding (A = SE(3),

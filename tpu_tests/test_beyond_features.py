@@ -36,7 +36,10 @@ def test_warmstart_on_chip():
     cold = reg.register_pair(prob.source, prob.target, "pt2pl", cfg)
     warm = reg.register_pair(prob.source, prob.target, "pt2pl", cfg,
                              initial_T=prob.T_gt)
-    assert warm.num_iterations <= 6
+    # <= 8: the thr-route normals ball may include a couple of extra
+    # boundary members (count slack +-2, r5 rank-search plan), which
+    # shifts the MSE trajectory by ~1 stop iteration run-to-run
+    assert warm.num_iterations <= 8
     assert warm.num_iterations < cold.num_iterations
     assert metrics_host.success(prob.T_gt, warm.transformation)
 
