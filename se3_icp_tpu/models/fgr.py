@@ -97,16 +97,21 @@ def _fgr_impl(src, n_src, tgt, n_tgt, cfg):
 
     # --- features on ORIGINAL coordinates (reference computes normals +
     #     FPFH before any normalization); +1 kNN column so normals use
-    #     the gather-free dense path (see lrf.normals_dense).  EXACT
-    #     kNN: FPFH weights each neighbor by 1/d2, so the distance
-    #     VALUES matter, not just the ranks -- the approx path's bf16
-    #     distance quantization measurably degrades the descriptors
-    #     (golden FGR 0.27 deg exact vs tens of degrees approx, r4);
-    #     Open3D's FLANN is exact here too.  Setup runs once per
-    #     registration, so the exact f32 pass is affordable.
+    #     the gather-free dense path (see lrf.normals_dense).
+    #     approx_f32 kNN (r5): FPFH weights each neighbor by 1/d2, so
+    #     the distance VALUES must stay f32/HIGHEST -- the r4 bf16
+    #     approx path sent golden FGR tens of degrees off -- but the
+    #     RANKS tolerate the PartialReduce approximation (recall 0.95):
+    #     golden FGR stays < 0.1 deg while the full top_k sort that
+    #     dominated FGR setup (2.0 of 4.3 s per 64-pair batch,
+    #     tpu_tests/micro_fgr.py) drops out.  SE3_ICP_TPU_FGR_EXACT_KNN=1
+    #     restores the exact sort.
+    import os
+    meth = ("exact" if os.environ.get("SE3_ICP_TPU_FGR_EXACT_KNN")
+            else "approx_f32")
     kw = max(cfg.fpfh_knn, cfg.normals_knn) + 1
-    idx_s, d2_s = knn.knn_self(src, kw, n_src, method="exact")
-    idx_t, d2_t = knn.knn_self(tgt, kw, n_tgt, method="exact")
+    idx_s, d2_s = knn.knn_self(src, kw, n_src, method=meth, recall=0.95)
+    idx_t, d2_t = knn.knn_self(tgt, kw, n_tgt, method=meth, recall=0.95)
     nrm_s = lrf.normals_dense(src, d2_s, cfg.normals_knn, n_src)
     nrm_t = lrf.normals_dense(tgt, d2_t, cfg.normals_knn, n_tgt)
 
@@ -116,9 +121,11 @@ def _fgr_impl(src, n_src, tgt, n_tgt, cfg):
 
     kf = cfg.fpfh_knn
     feat_s = fpfh_ops.fpfh_from_neighbors(
-        src, nrm_s, idx_s[:, :kf], d2_s[:, :kf], nb_mask(ns, n_src, kf))
+        src, nrm_s, idx_s[:, :kf], d2_s[:, :kf], nb_mask(ns, n_src, kf),
+        n_valid=n_src)
     feat_t = fpfh_ops.fpfh_from_neighbors(
-        tgt, nrm_t, idx_t[:, :kf], d2_t[:, :kf], nb_mask(nt, n_tgt, kf))
+        tgt, nrm_t, idx_t[:, :kf], d2_t[:, :kf], nb_mask(nt, n_tgt, kf),
+        n_valid=n_tgt)
     feat_s = jnp.where(src_valid[:, None], feat_s, 1e6)
     feat_t = jnp.where(tgt_valid[:, None], feat_t, 1e6)
 

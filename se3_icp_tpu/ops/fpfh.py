@@ -95,8 +95,10 @@ def spfh(points, normals, idx, nb_mask):
     mask = nb_mask[:, 1:].astype(dtype)
     p1 = points[:, None, :]
     n1 = normals[:, None, :]
-    p2 = points[nb_idx]
-    n2 = normals[nb_idx]
+    # ONE row gather for position+normal (row gathers are scalar-bound
+    # on TPU; two separate [N,k]-row gathers measured ~2x this)
+    pn = jnp.concatenate([points, normals], axis=-1)[nb_idx]
+    p2, n2 = pn[..., :3], pn[..., 3:]
     f1, f2, f3, _ = pair_features(p1, n1, p2, n2)
     # hist_incr = 100 / (#neighbors excl. self)  (Feature.cpp SPFH loop)
     cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
@@ -108,40 +110,81 @@ def spfh(points, normals, idx, nb_mask):
     return jnp.concatenate([h1, h2, h3], axis=-1)
 
 
-def fpfh_from_neighbors(points, normals, idx, d2, nb_mask):
+def fpfh_from_neighbors(points, normals, idx, d2, nb_mask,
+                        n_valid=None, dense_sum: bool = True):
     """FPFH [N,33] from a precomputed sorted kNN (self at rank 0).
 
     ``d2``: squared neighbor distances (the weighting divisor Open3D
     uses -- FLANN returns squared distances and Feature.cpp divides by
     them directly).
+
+    The neighbor-SPFH accumulation  sum_j spfh[j]/d2_ij  runs DENSELY
+    (r5, ``dense_sum``): the kNN's own last distance column is the ball
+    threshold, the weight matrix  w = (d2 <= thr) / d2  is recomputed
+    tile-wise from positions, and the sum is one MXU contraction
+    ``w @ spfh`` per tile -- no [N,k,33] gather (the gather was ~1.3 s
+    of FGR's 4.3 s batch-64 setup, scalar-bound; tpu_tests/micro_fgr).
+    Ball-vs-rank semantics follow the engine's thr route: a boundary
+    tie may add a member or two, which the 1/d2-weighted histogram
+    treats as noise-level.  ``dense_sum=False`` keeps the gathered
+    route (oracle/tests).  ``n_valid``: valid-row count for the dense
+    column mask (defaults to all rows).
     """
     dtype = points.dtype
     s = spfh(points, normals, idx, nb_mask)           # [N,33]
-    nb_idx = idx[:, 1:]
-    nb_d2 = d2[:, 1:]
-    mask = nb_mask[:, 1:] & (nb_d2 > 0)
-    inv_d2 = jnp.where(mask, 1.0 / jnp.maximum(nb_d2, 1e-30),
-                       0.0).astype(dtype)
-    # sum_j spfh[j] / d2_j  -> [N,33], streamed over QUERY-ROW CHUNKS:
-    # one gather of all neighbors at once materializes [B,N,99,33]
-    # under the batched callers -- 13.9 GB padded at the 64-pair
-    # serving batch (the 33-wide minor dim pads 3.9x) -- so lax.map
-    # walks 256-row query slabs with only [B,256,99,33] live at once.
-    # Chunking the ROW axis keeps each step's contraction over the
-    # full k -- the same einsum lowering as the unchunked path
-    # (k-axis chunking measured a ~40% feature deviation on TPU).
     n = points.shape[0]
-    k_nb = nb_idx.shape[1]
-    cn = min(256, n)
-    pad_n = (-n) % cn
-    idx_c = jnp.pad(nb_idx, ((0, pad_n), (0, 0))).reshape(-1, cn, k_nb)
-    w_c = jnp.pad(inv_d2, ((0, pad_n), (0, 0))).reshape(-1, cn, k_nb)
+    if dense_sum:
+        thr = d2[:, -1]                    # rank-k ball radius^2
+        tn = jnp.sum(points * points, axis=-1)        # [N]
+        if n_valid is None:
+            col_ok = jnp.ones((n,), bool)
+        else:
+            col_ok = jnp.arange(n) < n_valid
+        cn = min(512, n)
+        pad_n = (-n) % cn
+        q_c = jnp.pad(points, ((0, pad_n), (0, 0))).reshape(-1, cn, 3)
+        thr_c = jnp.pad(thr, (0, pad_n)).reshape(-1, cn)
 
-    def one(c):
-        ix, w = c
-        return jnp.einsum("nk,nkf->nf", w, s[ix])
+        def one(c):
+            q, t = c
+            qn = jnp.sum(q * q, axis=-1, keepdims=True)
+            prod = jax.lax.dot_general(
+                q, points, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)
+            d2f = qn - 2.0 * prod + tn[None, :]       # [cn, N]
+            w = jnp.where((d2f <= t[:, None]) & (d2f > 0)
+                          & col_ok[None, :],
+                          1.0 / jnp.maximum(d2f, 1e-30), 0.0)
+            return jax.lax.dot_general(
+                w, s, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)  # [cn, 33]
 
-    acc = jax.lax.map(one, (idx_c, w_c)).reshape(-1, s.shape[1])[:n]
+        acc = jax.lax.map(one, (q_c, thr_c)).reshape(-1, s.shape[1])[:n]
+    else:
+        nb_idx = idx[:, 1:]
+        nb_d2 = d2[:, 1:]
+        mask = nb_mask[:, 1:] & (nb_d2 > 0)
+        inv_d2 = jnp.where(mask, 1.0 / jnp.maximum(nb_d2, 1e-30),
+                           0.0).astype(dtype)
+        # gathered route: stream QUERY-ROW chunks (one gather of all
+        # neighbors materializes [B,N,99,33] -- 13.9 GB padded at the
+        # 64-pair serving batch).  Chunking the ROW axis keeps each
+        # step's contraction over the full k (k-axis chunking measured
+        # a ~40% feature deviation on TPU).
+        k_nb = nb_idx.shape[1]
+        cn = min(256, n)
+        pad_n = (-n) % cn
+        idx_c = jnp.pad(nb_idx, ((0, pad_n), (0, 0))).reshape(
+            -1, cn, k_nb)
+        w_c = jnp.pad(inv_d2, ((0, pad_n), (0, 0))).reshape(-1, cn, k_nb)
+
+        def one(c):
+            ix, w = c
+            return jnp.einsum("nk,nkf->nf", w, s[ix])
+
+        acc = jax.lax.map(one, (idx_c, w_c)).reshape(-1, s.shape[1])[:n]
     # per-block renormalization to 100, then + own SPFH (Feature.cpp)
     blocks = acc.reshape(-1, 3, _NBINS)
     bsum = jnp.sum(blocks, axis=-1, keepdims=True)
@@ -166,4 +209,5 @@ def fpfh(points, normals, n_valid=None, knn: int = 100):
         nb_mask = (jnp.arange(idx.shape[1])[None, :]
                    < jnp.minimum(n_valid, idx.shape[1]))
         nb_mask = nb_mask & (jnp.arange(n)[:, None] < n_valid)
-    return fpfh_from_neighbors(points, normals, idx, d2, nb_mask)
+    return fpfh_from_neighbors(points, normals, idx, d2, nb_mask,
+                               n_valid=n_valid)

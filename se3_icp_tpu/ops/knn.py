@@ -294,6 +294,18 @@ def knn_topk(queries, targets, k: int, n_targets=None, chunk: int = 4096,
             mind, idx = jax.lax.approx_min_k(
                 d2, k, recall_target=recall, aggregate_to_topk=True)
             return idx.astype(jnp.int32), mind.astype(queries.dtype)
+        if method == "approx_f32":
+            # approximate RANKS, exact-class VALUES: f32 HIGHEST
+            # distances through the PartialReduce top-k.  For consumers
+            # that weight by distance VALUES (FPFH's 1/d2) the r4 bf16
+            # quantization was the accuracy killer, not the approximate
+            # reduction -- this path keeps the values while skipping
+            # the full top_k sort that dominates FGR setup (2.0 s of a
+            # 4.3 s batch-64 call, tpu_tests/micro_fgr.py).
+            d2 = _mask_cols(_pairwise_d2(q, targets), n_targets)
+            mind, idx = jax.lax.approx_min_k(
+                d2, k, recall_target=recall, aggregate_to_topk=True)
+            return idx.astype(jnp.int32), mind
         d2 = _mask_cols(_pairwise_d2(q, targets), n_targets)
         neg, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg
@@ -359,6 +371,10 @@ def _knn_topk_batched(queries, targets, n_targets, k: int, method: str,
         col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
         d2 = jnp.where(col < n_arr[:, None, None], d2,
                        jnp.asarray(_BIG, d2.dtype))
+        if method == "approx_f32":   # see the unbatched twin above
+            mind, idx = jax.lax.approx_min_k(
+                d2, k, recall_target=recall, aggregate_to_topk=True)
+            return idx.astype(jnp.int32), mind
         neg, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg
 
@@ -391,13 +407,15 @@ def _topk_vmap_fn(k: int, method: str, recall: float):
     return fn
 
 
-def knn_self(points, k: int, n_valid=None, method: str | None = None):
+def knn_self(points, k: int, n_valid=None, method: str | None = None,
+             recall: float | None = None):
     """kNN of a cloud against itself (self included at rank 0).
 
     vmap-compatible: batched calls chunk queries with a batch-aware
     VMEM/HBM budget instead of multiplying the unbatched chunk by B."""
     method = method or _topk_method()
-    recall = approx_recall() if method == "approx" else 1.0
+    if recall is None:
+        recall = approx_recall() if method.startswith("approx") else 1.0
     if n_valid is None:
         n_valid = points.shape[0]
     return _topk_vmap_fn(k, method, recall)(
