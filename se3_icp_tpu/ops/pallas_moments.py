@@ -426,11 +426,15 @@ def moments_batched(points, n_valid, thr_cen, thr_cov, thr_all,
 #     of ALL requested ranks, so later (smaller) counts start nearly
 #     converged -- the descending sort below makes this systematic.
 #
-# Default plan: 16 probes for the largest count, 8 / 5 / 8... for the
-# rest = 29 sequential count-reduces for the TOLDI count set vs 60
-# before, with prototype worst-case count error <= +2 on uniform
-# clouds (the unit-test bound) and small single digits on the
-# adversarial families.  SE3_ICP_TPU_THR_PLAN="a,b,c,..." overrides.
+# Default plan: 16 probes for the largest count, 9 / 6 / 8... for the
+# rest = 31 sequential count-reduces for the TOLDI count set vs 60
+# before.  Count contract (r5): the search converges each rank to
+# within +2 CANDIDATE members worst-case on random clouds (600-draw
+# prototype per shape; pure bisection was search-exact at 2x the
+# probes) and the limb-packed f32 boundary rounding adds up to ~2
+# more, so consumers see counts in [c-2, c+4] plus lane-collision
+# slack -- ball semantics every consumer tolerates (validated
+# end-to-end).  SE3_ICP_TPU_THR_PLAN="a,b,c,..." overrides.
 #
 # Counts are self-inclusive (d2=0 always passes), pre-clamped to
 # n_valid by the wrapper, and sorted DESCENDING (the wrapper

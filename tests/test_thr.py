@@ -73,8 +73,16 @@ def _exact_d2(pts):
 
 def test_neighborhood_thresholds_counts(rng):
     """|{j : d2 <= thr_c}| must be ~c: never more than the lane-collision
-    slack, never more than ~2 short (boundary f32 rounding between the
-    kernel's limb-packed distance form and the exact one)."""
+    slack plus the search-and-rounding tail, never more than ~2 short.
+
+    The +4 upper tail (r5): the rank-search kernel converges each count
+    to within +2 CANDIDATE members in the worst case over random clouds
+    (prototyped over 600 draws per shape; the pre-r5 pure bisection was
+    search-exact but cost 2x the probes), and the boundary f32 rounding
+    between the limb-packed distance form and the exact one adds up to
+    ~2 more.  The consumers are ball-semantics (a few extra boundary
+    members perturb weighted moments at noise level -- gated end-to-end
+    by tests/test_thr_validation.py and the golden interpret runs)."""
     from se3_icp_tpu.ops import pallas_moments as pm
 
     for n, n_valid, slack_hi in [(512, 512, 0), (512, 400, 0),
@@ -89,7 +97,8 @@ def test_neighborhood_thresholds_counts(rng):
         for t, c in enumerate(counts[0]):
             got = (d2 <= thr[0, t, :n_valid][:, None]).sum(1)
             assert got.min() >= c - 2, (n, c, got.min())
-            assert got.max() <= c + slack_hi + 2, (n, c, got.max())
+            assert got.max() <= c + slack_hi + 4, (n, c, got.max())
+            assert np.median(got) <= c + slack_hi + 2, (n, c)
 
 
 def test_neighborhood_thresholds_clamp_to_valid(rng):
