@@ -213,13 +213,17 @@ def timed_variant(rep_lists, algorithm, cfg, T_gt, mesh, n_reps,
     mean_pure = float(np.mean([r.num_pure_se3_iterations for r in last]))
     # per-rep rate spread: the axon tunnel adds real run-to-run
     # variance, so doc bands must come from the artifact itself
-    # (VERDICT r4 item 9) -- min/median/max over the timed reps
-    stats = {"min_pairs_per_s": batch / float(np.max(rep_times)),
-             "median_pairs_per_s": batch / float(np.median(rep_times)),
-             "max_pairs_per_s": batch / float(np.min(rep_times)),
-             "n_reps": len(rep_times)}
-    return (batch / float(np.median(rep_times)),
-            float(np.median(rep_times)), mean_iters, mean_pure, stats)
+    # (VERDICT r4 item 9) -- min/median/max over the timed reps.
+    # The FIRST recorded rep pays the pipeline fill (two dispatch
+    # packs before its fetch), so it is excluded from the steady-state
+    # spread when enough reps exist.
+    st = rep_times[1:] if len(rep_times) > 2 else rep_times
+    stats = {"min_pairs_per_s": batch / float(np.max(st)),
+             "median_pairs_per_s": batch / float(np.median(st)),
+             "max_pairs_per_s": batch / float(np.min(st)),
+             "n_reps": len(st)}
+    return (batch / float(np.median(st)),
+            float(np.median(st)), mean_iters, mean_pure, stats)
 
 
 def phase_breakdown(rep_lists, algorithm, cfg, mesh, n_reps):
