@@ -101,6 +101,27 @@ def test_fpfh_matches_oracle(rng):
     assert np.mean(err) < 0.15
 
 
+def test_fpfh_dense_sum_matches_gathered(rng):
+    """The r5 dense ball-threshold neighbor-SPFH sum must reproduce the
+    gathered exact-kNN route up to boundary-membership noise (a tie at
+    the rank-k radius may flip one lowest-weight member)."""
+    n, k = 300, 25
+    pts = _rand_cloud(rng, n)
+    idx, d2 = knn.knn_self(jnp.asarray(pts), k, None)
+    nrm = np.asarray(lrf.normals_from_neighbors(jnp.asarray(pts), idx))
+    mask = jnp.ones(idx.shape, bool)
+    dense = np.asarray(fpfh_ops.fpfh_from_neighbors(
+        jnp.asarray(pts), jnp.asarray(nrm), idx, d2, mask,
+        dense_sum=True))
+    gathered = np.asarray(fpfh_ops.fpfh_from_neighbors(
+        jnp.asarray(pts), jnp.asarray(nrm), idx, d2, mask,
+        dense_sum=False))
+    err = (np.abs(dense - gathered).sum(axis=1)
+           / np.maximum(np.abs(gathered).sum(axis=1), 1e-9))
+    assert np.median(err) < 1e-5, np.median(err)
+    assert np.mean(err) < 0.02, np.mean(err)
+
+
 def test_fgr_registers_synthetic_problem(rng):
     n = 400
     src = _rand_cloud(rng, n)
