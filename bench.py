@@ -330,6 +330,15 @@ def main():
     }
     if degraded:
         out["degraded"] = "tpu unreachable; CPU fallback measurement"
+    if (h_stats["max_pairs_per_s"]
+            > 1.5 * h_stats["median_pairs_per_s"]):
+        # the axon tunnel stalls in bad windows (fetches blocking
+        # 100s of ms); when the best rep is far above the median the
+        # median reflects tunnel weather, not the device -- compare
+        # the profiled device program across rounds (docs/PERF.md)
+        out["tunnel_note"] = (
+            "rep spread >1.5x: tunnel-stall window; device-side "
+            "attribution in docs/PERF.md is the stable comparison")
 
     # Phase attribution is recorded by DEFAULT (VERDICT r3 item 2): the
     # driver-visible JSON must carry the setup/loop split at the same
